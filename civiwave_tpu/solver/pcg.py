@@ -1,0 +1,190 @@
+"""Device-resident block-Jacobi PCG as a single ``lax.while_loop``.
+
+Rebuild of /root/reference/src/gpu/pcg.cpp:696-918 — but where the reference
+ran its PCG loop on the CPU, calling out per kernel (its Phase 9+ goal of a
+fully device-resident loop was never shipped, pcg.hpp:191), here the entire
+solve is one jitted while_loop: zero host round-trips per iteration.
+
+Precision contract (README.md:14, docs/spec.md:16): FP32 vectors in the hot
+loop, FP64 dot-product reductions.  The reference chunks FP64 partials per
+256-lane workgroup (pcg.cpp:170-207); on TPU the same contract is a cast to
+f64 + ``jnp.sum`` — under ``pjit`` this becomes an f64 ``psum`` over the mesh
+axis, directly replacing pcg_dot_partials/pcg_reduce_final.slang.
+
+Dirichlet semantics preserved at all five touchpoints (pcg.cpp:458-475,
+530-546, 674-686, 860, 903-914): sanitize input, identity rows in the
+operator, x=rhs / r=0 after every solution update, and p zeroed on
+constrained axes.
+
+Degenerate denominators (|p.Ap| or |rho| < 1e-18, pcg.cpp:846-851, 888-892)
+cannot raise inside jit; they set ``breakdown`` in the telemetry and stop the
+loop with converged=False.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh.pack import PackedModel
+from ..ops.apply_keff import apply_keff
+from ..ops.block_jacobi import apply_preconditioner, build_block_jacobi_inverse
+
+_BREAKDOWN_TOL = 1.0e-18
+_RHS_NORM_FLOOR = 1.0e-12  # pcg.cpp:774
+
+
+class PcgTelemetry(NamedTuple):
+    """Solve statistics (pcg.hpp:126-133). Array-valued for jit returns."""
+
+    iterations: jax.Array  # int32
+    residual_norm: jax.Array  # f64
+    rhs_norm: jax.Array  # f64
+    alpha_last: jax.Array  # f64
+    beta_last: jax.Array  # f64
+    converged: jax.Array  # bool
+    breakdown: jax.Array  # bool — denominator/rho collapse
+
+
+def dot_f64(a: jax.Array, b: jax.Array) -> jax.Array:
+    """FP64 reduction over (N, 3) f32 vectors — the precision contract.
+
+    Under GSPMD sharding this lowers to a per-shard f64 partial + psum over
+    the mesh axis, mirroring the reference's workgroup-partials design
+    (pcg.cpp:170-207, pcg_dot_partials.slang).
+    """
+    return jnp.sum(a.astype(jnp.float64) * b.astype(jnp.float64))
+
+
+def _clamp_dirichlet(model: PackedModel, rhs, x, r):
+    """x = rhs, r = 0 on constrained axes (pcg.cpp:458-475)."""
+    x = jnp.where(model.bc_mask, rhs, x)
+    r = jnp.where(model.bc_mask, 0.0, r)
+    return x, r
+
+
+class _Carry(NamedTuple):
+    x: jax.Array
+    r: jax.Array
+    p: jax.Array
+    rho: jax.Array
+    residual_norm: jax.Array
+    alpha_last: jax.Array
+    beta_last: jax.Array
+    iteration: jax.Array
+    converged: jax.Array
+    breakdown: jax.Array
+
+
+def solve_pcg(
+    model: PackedModel,
+    rhs: jax.Array,
+    stiffness_scale,
+    mass_factor,
+    relative_tolerance,
+    max_iterations,
+    x0: jax.Array,
+    warm_start: bool = True,
+):
+    """PCG solve; returns (solution (N*, 3) f32, PcgTelemetry).
+
+    ``relative_tolerance`` and ``max_iterations`` may be traced scalars so
+    pause-mode tolerance switches and adaptive policies never recompile.
+    """
+    f32 = jnp.float32
+
+    block_inverse = build_block_jacobi_inverse(model, stiffness_scale, mass_factor)
+
+    x = x0 if warm_start else jnp.zeros_like(x0)
+
+    ax = apply_keff(model, x, stiffness_scale, mass_factor)
+    r = (rhs - ax).astype(f32)
+    x, r = _clamp_dirichlet(model, rhs, x, r)
+
+    rhs_norm_true = jnp.sqrt(dot_f64(rhs, rhs))
+    rhs_norm = jnp.where(rhs_norm_true < _RHS_NORM_FLOOR, 1.0, rhs_norm_true)
+    tolerance = relative_tolerance * rhs_norm
+
+    residual_norm = jnp.sqrt(dot_f64(r, r))
+    converged0 = residual_norm <= tolerance
+
+    z = apply_preconditioner(model, block_inverse, r)
+    rho0 = dot_f64(r, z)
+    breakdown0 = jnp.logical_and(
+        jnp.logical_not(converged0), jnp.abs(rho0) < _BREAKDOWN_TOL
+    )
+    p = jnp.where(model.bc_mask, 0.0, z).astype(f32)
+
+    max_iters = jnp.asarray(max_iterations, dtype=jnp.int32)
+
+    def cond(carry: _Carry):
+        return jnp.logical_and(
+            carry.iteration < max_iters,
+            jnp.logical_and(
+                jnp.logical_not(carry.converged), jnp.logical_not(carry.breakdown)
+            ),
+        )
+
+    def body(carry: _Carry) -> _Carry:
+        ap = apply_keff(model, carry.p, stiffness_scale, mass_factor)
+        denom = dot_f64(carry.p, ap)
+        breakdown = jnp.abs(denom) < _BREAKDOWN_TOL
+        safe_denom = jnp.where(breakdown, 1.0, denom)
+        alpha = carry.rho / safe_denom
+
+        x = (carry.x + (alpha * carry.p.astype(jnp.float64)).astype(f32)).astype(f32)
+        r = (carry.r - (alpha * ap.astype(jnp.float64)).astype(f32)).astype(f32)
+        x, r = _clamp_dirichlet(model, rhs, x, r)
+
+        residual_norm = jnp.sqrt(dot_f64(r, r))
+        converged = residual_norm <= tolerance
+
+        z = apply_preconditioner(model, block_inverse, r)
+        rho_new = dot_f64(r, z)
+        beta = rho_new / jnp.where(jnp.abs(carry.rho) < _BREAKDOWN_TOL, 1.0, carry.rho)
+        rho_breakdown = jnp.logical_and(
+            jnp.logical_not(converged), jnp.abs(carry.rho) < _BREAKDOWN_TOL
+        )
+        p = (z.astype(jnp.float64) + beta * carry.p.astype(jnp.float64)).astype(f32)
+        p = jnp.where(model.bc_mask, 0.0, p)
+
+        stop = jnp.logical_or(converged, jnp.logical_or(breakdown, rho_breakdown))
+        return _Carry(
+            x=jnp.where(breakdown, carry.x, x),
+            r=jnp.where(breakdown, carry.r, r),
+            p=jnp.where(stop, carry.p, p),
+            rho=jnp.where(stop, carry.rho, rho_new),
+            residual_norm=jnp.where(breakdown, carry.residual_norm, residual_norm),
+            alpha_last=jnp.where(breakdown, carry.alpha_last, alpha),
+            beta_last=jnp.where(stop, carry.beta_last, beta),
+            iteration=carry.iteration + jnp.where(breakdown, 0, 1),
+            converged=converged,
+            breakdown=jnp.logical_or(breakdown, rho_breakdown),
+        )
+
+    init = _Carry(
+        x=x,
+        r=r,
+        p=p,
+        rho=rho0,
+        residual_norm=residual_norm,
+        alpha_last=jnp.asarray(0.0, jnp.float64),
+        beta_last=jnp.asarray(0.0, jnp.float64),
+        iteration=jnp.asarray(0, jnp.int32),
+        converged=converged0,
+        breakdown=breakdown0,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+
+    telemetry = PcgTelemetry(
+        iterations=final.iteration,
+        residual_norm=final.residual_norm,
+        rhs_norm=rhs_norm_true,
+        alpha_last=final.alpha_last,
+        beta_last=final.beta_last,
+        converged=final.converged,
+        breakdown=final.breakdown,
+    )
+    return final.x, telemetry

@@ -1,0 +1,289 @@
+"""Implicit Newmark-beta frame orchestration — one jitted device program.
+
+Rebuild of /root/reference/src/gpu/newmark_stepper.cpp:1094-1399.  The
+reference choreographed predictor/update GPU dispatches around a CPU PCG
+loop with synchronous queue waits; here the whole frame — predictor,
+effective RHS, Dirichlet clamp, device-resident PCG, state update — is ONE
+jitted computation.  ``dt``, tolerance and iteration cap are traced scalars,
+so adaptive timestepping and pause-mode tolerance switches never trigger
+recompilation (the XLA analogue of the reference recomputing K_eff scalars
+per frame, newmark_stepper.cpp:1322-1326).
+
+Step order preserved exactly (newmark_stepper.cpp:1094-1160):
+1. coefficients a0..a5 from the *current* dt;
+2. predictor u_pred/v_pred from the pre-step state (1245-1286);
+3. effective RHS from the pre-step state (NOT the predictor) with mass +
+   Rayleigh terms, and the beta_R * K * damping_rhs matvec through the
+   stiffness-only operator (1162-1217);
+4. Dirichlet RHS clamp rhs = bc_value - u (1219-1243);
+5. PCG with warm start + runtime/pause tolerance (1120-1133);
+6. update u = u_pred + d, a = d/(beta dt^2), v = v_pred + gamma/(beta dt) d
+   (1288-1314).
+
+The host-side :class:`NewmarkStepper` wraps the jitted step with the
+adaptive-dt policy (1328-1367) and reference-compatible telemetry.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config.schema import SolverSettings, TimeSettings
+from ..mesh.pack import PackedModel, SimState
+from ..ops.apply_keff import apply_keff
+from ..physics.materials import RayleighCoefficients
+from .pcg import PcgTelemetry, solve_pcg
+
+
+@dataclass(frozen=True)
+class AdaptivePolicy:
+    """Adaptive dt knobs (newmark_stepper.hpp:56-63)."""
+
+    low_iteration_ratio: float = 0.3
+    increase_factor: float = 1.1
+    decrease_factor: float = 0.5
+
+
+@dataclass
+class StepTelemetry:
+    """Host-side per-frame telemetry (newmark_stepper.hpp:68-79)."""
+
+    simulation_time: float
+    time_step: float
+    applied_tolerance: float
+    paused_mode: bool
+    dt_increased: bool = False
+    dt_decreased: bool = False
+    dt_clamped_min: bool = False
+    dt_clamped_max: bool = False
+    pcg_iterations: int = 0
+    pcg_residual_norm: float = 0.0
+    pcg_rhs_norm: float = 0.0
+    pcg_alpha_last: float = 0.0
+    pcg_beta_last: float = 0.0
+    pcg_converged: bool = False
+    pcg_breakdown: bool = False
+
+
+class _DeviceStepOut(NamedTuple):
+    state: SimState
+    pcg: PcgTelemetry
+
+
+def newmark_step(
+    model: PackedModel,
+    state: SimState,
+    external_force: jax.Array,
+    dt,
+    tolerance,
+    max_iterations,
+    *,
+    rayleigh_alpha: float,
+    rayleigh_beta: float,
+    newmark_beta: float = 0.25,
+    newmark_gamma: float = 0.5,
+    warm_start: bool = True,
+) -> _DeviceStepOut:
+    """One implicit Newmark frame, fully on device.
+
+    ``dt``/``tolerance``/``max_iterations`` are traced; the Rayleigh and
+    Newmark constants are Python floats fixed at trace time (they are fixed
+    per scenario in the reference too).
+    """
+    f32 = jnp.float32
+    dt = jnp.asarray(dt, jnp.float64)
+
+    # coefficients (newmark.cpp:34-47) in f64 scalars on device
+    beta, gamma = newmark_beta, newmark_gamma
+    a0 = 1.0 / (beta * dt * dt)
+    a1 = gamma / (beta * dt)
+    a2 = 1.0 / (beta * dt)
+    a3 = (1.0 / (2.0 * beta)) - 1.0
+    a4 = (gamma / beta) - 1.0
+    a5 = dt * ((gamma / (2.0 * beta)) - 1.0)
+
+    stiffness_scale = (1.0 + a1 * rayleigh_beta).astype(f32)
+    mass_factor = (a0 + a1 * rayleigh_alpha).astype(f32)
+
+    u = state.displacement
+    v = state.velocity
+    acc = state.acceleration
+
+    # predictor from the pre-step state (newmark_stepper.cpp:1245-1286)
+    dt32 = dt.astype(f32)
+    u_pred = u + dt32 * v + ((0.5 - beta) * dt * dt).astype(f32) * acc
+    v_pred = v + ((1.0 - gamma) * dt).astype(f32) * acc
+
+    # effective RHS from the pre-step state (newmark_stepper.cpp:1162-1217)
+    mass = model.lumped_mass[:, None]
+    mass_term = mass * (
+        a0.astype(f32) * u + a2.astype(f32) * v + jnp.float32(a3) * acc
+    )
+    damping_rhs = (
+        a1.astype(f32) * u + jnp.float32(a4) * v + a5.astype(f32) * acc
+    )
+    rhs = external_force + mass_term + jnp.float32(rayleigh_alpha) * mass * damping_rhs
+    if rayleigh_beta != 0.0:
+        damping_output = apply_keff(
+            model, damping_rhs, jnp.float32(1.0), jnp.float32(0.0)
+        )
+        # stiffness-only operator has identity rows on constrained axes;
+        # match the reference, which adds beta_R * (K * damping_rhs) verbatim
+        rhs = rhs + jnp.float32(rayleigh_beta) * damping_output
+
+    # Dirichlet RHS clamp: rhs = target - u (newmark_stepper.cpp:1219-1243)
+    rhs = jnp.where(model.bc_mask, model.bc_value - u, rhs)
+
+    delta, pcg_telemetry = solve_pcg(
+        model,
+        rhs,
+        stiffness_scale,
+        mass_factor,
+        tolerance,
+        max_iterations,
+        state.warm_x,
+        warm_start=warm_start,
+    )
+
+    # state update (newmark_stepper.cpp:1288-1314)
+    inv_beta_dt2 = (1.0 / (beta * dt * dt)).astype(f32)
+    gamma_over_beta_dt = (gamma / (beta * dt)).astype(f32)
+    new_state = SimState(
+        displacement=u_pred + delta,
+        velocity=v_pred + gamma_over_beta_dt * delta,
+        acceleration=inv_beta_dt2 * delta,
+        warm_x=delta,
+    )
+    return _DeviceStepOut(state=new_state, pcg=pcg_telemetry)
+
+
+class NewmarkStepper:
+    """Host orchestration: jitted frame + adaptive dt policy.
+
+    Mirrors cwf::gpu::newmark::Stepper (newmark_stepper.hpp:92-190):
+    ``step(time, paused)`` advances the device state one frame and returns
+    :class:`StepTelemetry`; dt adaptation follows newmark_stepper.cpp:
+    1328-1367 (grow x1.1 when iterations <= 0.3 * max, halve when
+    non-converged, clamp to [min_dt, max_dt]).
+    """
+
+    def __init__(
+        self,
+        model: PackedModel,
+        initial_state: SimState,
+        external_force: jax.Array,
+        rayleigh: RayleighCoefficients,
+        solver_settings: SolverSettings,
+        time_settings: TimeSettings,
+        adaptive_policy: AdaptivePolicy = AdaptivePolicy(),
+        newmark_beta: float = 0.25,
+        newmark_gamma: float = 0.5,
+        warm_start: bool = True,
+    ) -> None:
+        self.model = model
+        self.state = initial_state
+        self.external_force = external_force
+        self.rayleigh = rayleigh
+        self.solver_settings = solver_settings
+        self.time_settings = time_settings
+        self.adaptive_policy = adaptive_policy
+        self.current_dt = (
+            time_settings.initial_dt if time_settings.initial_dt > 0.0 else 1.0e-3
+        )
+        self.accumulated_time = 0.0
+        self.frame_index = 0
+        self.warm_start_enabled = warm_start
+
+        self._step_fn = jax.jit(
+            partial(
+                newmark_step,
+                rayleigh_alpha=rayleigh.alpha,
+                rayleigh_beta=rayleigh.beta,
+                newmark_beta=newmark_beta,
+                newmark_gamma=newmark_gamma,
+                warm_start=warm_start,
+            )
+        )
+
+    @property
+    def node_count(self) -> int:
+        return self.model.node_count
+
+    @property
+    def dof_count(self) -> int:
+        return self.model.dof_count
+
+    def set_external_force(self, external_force: jax.Array) -> None:
+        self.external_force = external_force
+
+    def step(self, simulation_time_seconds: float, paused_mode: bool = False) -> StepTelemetry:
+        """Run one frame (newmark_stepper.cpp:1094-1160)."""
+        self.accumulated_time = simulation_time_seconds
+        tolerance = (
+            self.solver_settings.pause_tolerance
+            if paused_mode
+            else self.solver_settings.runtime_tolerance
+        )
+        out = self._step_fn(
+            self.model,
+            self.state,
+            self.external_force,
+            jnp.float64(self.current_dt),
+            jnp.float64(tolerance),
+            jnp.int32(self.solver_settings.max_iterations),
+        )
+        self.state = out.state
+        pcg = jax.device_get(out.pcg)
+
+        telemetry = StepTelemetry(
+            simulation_time=simulation_time_seconds,
+            time_step=self.current_dt,
+            applied_tolerance=tolerance,
+            paused_mode=paused_mode,
+            pcg_iterations=int(pcg.iterations),
+            pcg_residual_norm=float(pcg.residual_norm),
+            pcg_rhs_norm=float(pcg.rhs_norm),
+            pcg_alpha_last=float(pcg.alpha_last),
+            pcg_beta_last=float(pcg.beta_last),
+            pcg_converged=bool(pcg.converged),
+            pcg_breakdown=bool(pcg.breakdown),
+        )
+        self._adapt_timestep(telemetry)
+        self.frame_index += 1
+        self.accumulated_time = simulation_time_seconds + self.current_dt
+        return telemetry
+
+    def _adapt_timestep(self, telemetry: StepTelemetry) -> None:
+        """Grow/shrink/clamp dt (newmark_stepper.cpp:1328-1367)."""
+        if not self.time_settings.adaptive:
+            return
+        threshold = self.adaptive_policy.low_iteration_ratio * float(
+            self.solver_settings.max_iterations
+        )
+        if telemetry.pcg_iterations <= threshold:
+            self.current_dt *= self.adaptive_policy.increase_factor
+            telemetry.dt_increased = True
+        elif not telemetry.pcg_converged:
+            self.current_dt *= self.adaptive_policy.decrease_factor
+            telemetry.dt_decreased = True
+        if self.time_settings.min_dt > 0.0 and self.current_dt <= self.time_settings.min_dt:
+            self.current_dt = self.time_settings.min_dt
+            telemetry.dt_clamped_min = True
+        if self.time_settings.max_dt > 0.0 and self.current_dt >= self.time_settings.max_dt:
+            self.current_dt = self.time_settings.max_dt
+            telemetry.dt_clamped_max = True
+
+    # --- host views of the device state (unpadded) -----------------------
+    def displacement(self):
+        return jax.device_get(self.state.displacement)[: self.model.node_count]
+
+    def velocity(self):
+        return jax.device_get(self.state.velocity)[: self.model.node_count]
+
+    def acceleration(self):
+        return jax.device_get(self.state.acceleration)[: self.model.node_count]
