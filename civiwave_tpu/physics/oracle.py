@@ -153,12 +153,26 @@ def apply_dirichlet(
     conditions: DirichletConditions,
     state: newmark.State,
 ) -> None:
-    """Row/col zero + identity diag; rhs = target - u (solver.cpp:242-263)."""
+    """Row/col zero + identity diag; rhs = target on constrained dofs.
+
+    DELIBERATE DEVIATION from solver.cpp:242-263, which sets
+    ``rhs = target - u``.  The effective system assembled by
+    ``build_effective_rhs``/``build_effective_stiffness`` is the textbook
+    *total-displacement* Newmark form — ``K_eff u_{n+1} = rhs`` (Bathe
+    eq. 9.104; verify: at equilibrium ``K u = F`` the solution is ``u``) —
+    so the constrained solution component must equal the target itself.
+    The reference mixed the two conventions (total-form RHS, delta-form
+    clamp and update), which is exact for the first step from rest (its
+    only tested case, newmark_stepper_test.cpp:205-239) but drifts for
+    multi-step runs.  ``state`` is kept in the signature for call-site
+    parity.
+    """
+    del state
     fixed = np.nonzero(conditions.mask)[0]
     matrix[fixed, :] = 0.0
     matrix[:, fixed] = 0.0
     matrix[fixed, fixed] = 1.0
-    rhs[fixed] = conditions.targets[fixed] - state.displacement[fixed]
+    rhs[fixed] = conditions.targets[fixed]
 
 
 def conjugate_gradient(
@@ -235,7 +249,11 @@ def solve_newmark_step(
     )
     apply_dirichlet(keff, rhs, dirichlet, previous_state)
     solution, stats = conjugate_gradient(keff, rhs, max_iterations, tolerance)
-    next_state = newmark.update_state(coeffs, previous_state, solution)
+    # the solve yields TOTAL u_{n+1}; the kinematic update consumes the
+    # increment (see apply_dirichlet docstring for the deviation rationale —
+    # solver.cpp:367 fed the raw solution in as the increment)
+    delta = solution - previous_state.displacement
+    next_state = newmark.update_state(coeffs, previous_state, delta)
     fixed = np.nonzero(dirichlet.mask)[0]
     next_state.displacement[fixed] = dirichlet.targets[fixed]
     return StepResult(state=next_state, stats=stats)

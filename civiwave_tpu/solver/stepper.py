@@ -136,10 +136,15 @@ def newmark_step(
         # match the reference, which adds beta_R * (K * damping_rhs) verbatim
         rhs = rhs + jnp.float32(rayleigh_beta) * damping_output
 
-    # Dirichlet RHS clamp: rhs = target - u (newmark_stepper.cpp:1219-1243)
-    rhs = jnp.where(model.bc_mask, model.bc_value - u, rhs)
+    # Dirichlet RHS clamp.  DELIBERATE DEVIATION from
+    # newmark_stepper.cpp:1219-1243 (rhs = target - u): the effective system
+    # is the textbook total-displacement Newmark form, so the constrained
+    # solution component is the target itself and the PCG solution is TOTAL
+    # u_{n+1}.  The increment fed to the reference's own update formulas is
+    # x - u_pred (see oracle.apply_dirichlet for the full rationale).
+    rhs = jnp.where(model.bc_mask, model.bc_value, rhs)
 
-    delta, pcg_telemetry = solve_pcg(
+    solution, pcg_telemetry = solve_pcg(
         model,
         rhs,
         stiffness_scale,
@@ -150,14 +155,16 @@ def newmark_step(
         warm_start=warm_start,
     )
 
-    # state update (newmark_stepper.cpp:1288-1314)
+    # state update (newmark_stepper.cpp:1288-1314) with delta = x - u_pred,
+    # algebraically identical to a' = a0(x-u) - a2 v - a3 a (newmark.cpp:151)
+    delta = solution - u_pred
     inv_beta_dt2 = (1.0 / (beta * dt * dt)).astype(f32)
     gamma_over_beta_dt = (gamma / (beta * dt)).astype(f32)
     new_state = SimState(
         displacement=u_pred + delta,
         velocity=v_pred + gamma_over_beta_dt * delta,
         acceleration=inv_beta_dt2 * delta,
-        warm_x=delta,
+        warm_x=solution,
     )
     return _DeviceStepOut(state=new_state, pcg=pcg_telemetry)
 

