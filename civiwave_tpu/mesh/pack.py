@@ -5,27 +5,39 @@ reference packs SoA float vectors for Vulkan descriptor buffers; here the
 product is two pytrees of jnp arrays:
 
 * :class:`PackedModel` — time-invariant tables (connectivity, gradients,
-  volumes, materials, masses, boundary conditions).  These are the analogue
-  of the 17 logical GPU buffers (buffers.cpp:67-96).
+  volumes, materials, masses, boundary conditions, assembly indices).
+  These are the analogue of the 17 logical GPU buffers (buffers.cpp:67-96).
 * :class:`SimState` — the evolving kinematic state (u, v, a) plus the PCG
   warm-start vector (solver.vector.x in the reference).
+
+Layout design (performance-critical, measured on TPU v5e):
+
+* **Element-type blocks.**  Tets and hexes get separate tables so each runs
+  its optimal kernel: tet rows are (T, 4, 3) constant gradients; hex rows
+  are (H, 8gp, 8node, 3) Gauss tables with per-gp volumes.  Nodal
+  displacements are gathered ONCE per element (not per Gauss point) and gp
+  forces are reduced per element before assembly — an 8x traffic saving
+  over the flat quadrature-row layout for hexes.
+* **Gather-based assembly (dual CSR).**  The scatter-add (segment_sum) is
+  ~8x slower than a gather on TPU, so assembly uses the reference's own
+  no-float-atomics idea (ke_gather_node.slang, docs/spec.md:35): a padded
+  per-node incidence table ``csr_idx (N*, D)`` indexing into the
+  concatenated per-element force rows, with 0/1 weights for padding.
 
 Semantics preserved from the reference:
 * fp64 -> fp32 conversion clamps to +/-FLT_MAX instead of producing inf
   (pack.cpp:41-57);
-* connectivity padding uses a sentinel — here the sentinel is ``node_count``
-  (one virtual dump row appended at gather/scatter time) instead of
-  UINT32_MAX, because a valid index keeps every gather in-bounds under XLA;
+* connectivity padding: the reference pads with UINT32_MAX sentinels
+  (pack.cpp:180-192); here padded slots point at node 0 with zero gradients
+  so every gather/scatter stays in-bounds and contributes exact zeros;
 * ``bc_mask`` is (N, 3) bool (the reference packs 3-bit masks,
   pack.cpp:159-175); ``bc_value`` holds per-axis targets;
 * external force is assembled at ``load_time_seconds`` (pack.cpp:107-113).
 
-TPU additions:
-* node and quadrature-row counts are padded up to multiples of ``pad_nodes``
-  / ``pad_quads`` so arrays tile cleanly onto (8, 128) vregs and shard evenly
-  over device meshes.  Padded nodes are fully Dirichlet-constrained with zero
-  targets and zero mass, making them exact no-ops in the solver; padded rows
-  have zero gradients/volume and point at the dump row.
+TPU padding: node and element counts round up to ``pad_nodes``/``pad_elems``
+multiples so arrays tile onto (8, 128) vregs and shard evenly over device
+meshes.  Padded nodes are fully Dirichlet-constrained with zero targets and
+zero mass — exact no-ops in the solver.
 """
 
 from __future__ import annotations
@@ -64,19 +76,31 @@ def _round_up(value: int, multiple: int) -> int:
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class PackedModel:
-    """Time-invariant device tables (quadrature-row layout).
+    """Time-invariant device tables (element-type-blocked layout).
 
-    Shapes use N* = padded node count, Q* = padded quadrature-row count.
-    ``conn`` indexes into arrays of length N* + 1; index N* is the dump row.
+    Shapes use N* / T* / H* = padded node / tet / hex counts.  Padded conn
+    slots point at node 0 with zero gradients (exact no-ops).  The assembly
+    tables index into the concatenated force-row array
+    ``concat(tet_forces.reshape(T*x4, 3), hex_forces.reshape(H*x8, 3))``.
     """
 
-    # per quadrature row
-    conn: jax.Array  # (Q*, 8) int32 — padded with dump-row index
-    gradients: jax.Array  # (Q*, 8, 3) f32
-    volume: jax.Array  # (Q*,) f32
-    lam_q: jax.Array  # (Q*,) f32 — per-row first Lame parameter
-    mu_q: jax.Array  # (Q*,) f32 — per-row shear modulus
-    material_index: jax.Array  # (Q*,) int32
+    # tet block (single quadrature point, constant gradients)
+    conn_tet: jax.Array  # (T*, 4) int32
+    grads_tet: jax.Array  # (T*, 4, 3) f32
+    vol_tet: jax.Array  # (T*,) f32
+    lam_tet: jax.Array  # (T*,) f32
+    mu_tet: jax.Array  # (T*,) f32
+    mat_tet: jax.Array  # (T*,) int32
+    # hex block (2x2x2 Gauss)
+    conn_hex: jax.Array  # (H*, 8) int32
+    grads_hex: jax.Array  # (H*, 8, 8, 3) f32 — (elem, gp, node, axis)
+    vol_hex: jax.Array  # (H*, 8) f32 — detJ per gp
+    lam_hex: jax.Array  # (H*,) f32
+    mu_hex: jax.Array  # (H*,) f32
+    mat_hex: jax.Array  # (H*,) int32
+    # gather-based assembly (dual CSR, fixed max degree)
+    csr_idx: jax.Array  # (N*, D) int32 — rows of the force-row array
+    csr_weight: jax.Array  # (N*, D) f32 — 1 for real incidences, 0 for pads
     # per node
     position0: jax.Array  # (N*, 3) f32
     lumped_mass: jax.Array  # (N*,) f32
@@ -89,13 +113,19 @@ class PackedModel:
     # static metadata
     node_count: int = field(metadata=dict(static=True), default=0)
     padded_node_count: int = field(metadata=dict(static=True), default=0)
-    quad_count: int = field(metadata=dict(static=True), default=0)
-    padded_quad_count: int = field(metadata=dict(static=True), default=0)
+    tet_count: int = field(metadata=dict(static=True), default=0)
+    padded_tet_count: int = field(metadata=dict(static=True), default=0)
+    hex_count: int = field(metadata=dict(static=True), default=0)
+    padded_hex_count: int = field(metadata=dict(static=True), default=0)
     element_count: int = field(metadata=dict(static=True), default=0)
 
     @property
     def dof_count(self) -> int:
         return self.node_count * 3
+
+    @property
+    def force_row_count(self) -> int:
+        return self.padded_tet_count * 4 + self.padded_hex_count * 8
 
 
 @jax.tree_util.register_dataclass
@@ -115,26 +145,80 @@ def zero_state(model: PackedModel) -> SimState:
     return SimState(zeros, zeros, zeros, zeros)
 
 
+def _build_dual_csr(
+    conn_tet: np.ndarray,
+    conn_hex: np.ndarray,
+    t_pad: int,
+    n_pad: int,
+    pad_degree: int = 8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-node incidence table into the concatenated force-row array.
+
+    Force rows: tet element e slot l -> row e*4 + l; hex element e slot l
+    -> row t_pad*4 + e*8 + l.  Padded entries index row 0 with weight 0.
+    """
+    entries_nodes = []
+    entries_rows = []
+    if conn_tet.size:
+        t = conn_tet.shape[0]
+        rows = (
+            np.arange(t, dtype=np.int64)[:, None] * 4
+            + np.arange(4, dtype=np.int64)[None, :]
+        )
+        entries_nodes.append(conn_tet.reshape(-1).astype(np.int64))
+        entries_rows.append(rows.reshape(-1))
+    if conn_hex.size:
+        h = conn_hex.shape[0]
+        rows = (
+            t_pad * 4
+            + np.arange(h, dtype=np.int64)[:, None] * 8
+            + np.arange(8, dtype=np.int64)[None, :]
+        )
+        entries_nodes.append(conn_hex.reshape(-1).astype(np.int64))
+        entries_rows.append(rows.reshape(-1))
+
+    if entries_nodes:
+        nodes = np.concatenate(entries_nodes)
+        rows = np.concatenate(entries_rows)
+    else:
+        nodes = np.zeros(0, np.int64)
+        rows = np.zeros(0, np.int64)
+
+    counts = np.bincount(nodes, minlength=n_pad)
+    max_degree = int(counts.max()) if counts.size else 0
+    degree = max(_round_up(max(max_degree, 1), pad_degree), pad_degree)
+
+    csr_idx = np.zeros((n_pad, degree), dtype=np.int32)
+    csr_weight = np.zeros((n_pad, degree), dtype=np.float32)
+    order = np.argsort(nodes, kind="stable")
+    nodes_sorted = nodes[order]
+    rows_sorted = rows[order]
+    offsets = np.zeros(n_pad + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    # vectorized ragged fill: position within each node's run
+    position = np.arange(len(nodes_sorted)) - offsets[nodes_sorted]
+    csr_idx[nodes_sorted, position] = rows_sorted.astype(np.int32)
+    csr_weight[nodes_sorted, position] = 1.0
+    return csr_idx, csr_weight
+
+
 def build_packed_model(
     mesh: Mesh,
     preprocess: PreprocessOutputs,
     cfg: Config,
     materials: Sequence[ElasticProperties],
     pad_nodes: int = 8,
-    pad_quads: int = 8,
+    pad_elems: int = 8,
 ) -> Tuple[PackedModel, SimState, jax.Array]:
     """Pack everything for device residency (pack.cpp:61-235).
 
     Returns (model, initial_state, external_force) where external_force is
     the (N*, 3) f32 load vector at t=0.
     """
-    if pad_nodes < 1 or pad_quads < 1:
-        raise PackError(
-            "padding multiples must be >= 1", ["PackingParameters"]
-        )
+    if pad_nodes < 1 or pad_elems < 1:
+        raise PackError("padding multiples must be >= 1", ["PackingParameters"])
 
     n = mesh.node_count
-    q = preprocess.quad_count
     if n != preprocess.lumped_mass.shape[0]:
         raise PackError(
             "preprocess lumped mass count mismatches mesh nodes",
@@ -142,7 +226,6 @@ def build_packed_model(
         )
 
     n_pad = _round_up(max(n, 1), pad_nodes)
-    q_pad = _round_up(max(q, 1), pad_quads)
 
     # --- per-node tables -------------------------------------------------
     position0 = np.zeros((n_pad, 3), dtype=np.float32)
@@ -162,34 +245,77 @@ def build_packed_model(
     external_force = np.zeros((n_pad, 3), dtype=np.float32)
     external_force[:n] = clamp_to_f32(load)
 
-    # --- per-row tables ----------------------------------------------------
-    dump = n_pad  # virtual dump row index
-    conn = np.full((q_pad, 8), dump, dtype=np.int32)
-    src_conn = preprocess.quad_connectivity
-    conn[:q] = np.where(src_conn == SENTINEL, dump, src_conn)
-
-    gradients = np.zeros((q_pad, 8, 3), dtype=np.float32)
-    gradients[:q] = clamp_to_f32(preprocess.quad_gradients)
-
-    volume = np.zeros(q_pad, dtype=np.float32)
-    volume[:q] = clamp_to_f32(preprocess.quad_volume)
-
-    material_index = np.zeros(q_pad, dtype=np.int32)
-    material_index[:q] = preprocess.quad_material_index
-
+    # --- element blocks ----------------------------------------------------
     lam_np, mu_np, d_np = material_tables(materials)
-    lam_q = np.zeros(q_pad, dtype=np.float32)
-    mu_q = np.zeros(q_pad, dtype=np.float32)
-    lam_q[:q] = clamp_to_f32(lam_np[preprocess.quad_material_index])
-    mu_q[:q] = clamp_to_f32(mu_np[preprocess.quad_material_index])
+
+    is_tet = mesh.element_node_counts == 4
+    is_hex = mesh.element_node_counts == 8
+    tet_elems = np.nonzero(is_tet)[0]
+    hex_elems = np.nonzero(is_hex)[0]
+    t, h = tet_elems.size, hex_elems.size
+    t_pad = _round_up(t, pad_elems) if t else 0
+    h_pad = _round_up(h, pad_elems) if h else 0
+
+    # preprocess emits tet rows first (one per tet), then hex rows (8 per
+    # hex, contiguous) — see mesh/preprocess.py run()
+    conn_tet = np.zeros((t_pad, 4), dtype=np.int32)
+    grads_tet = np.zeros((t_pad, 4, 3), dtype=np.float32)
+    vol_tet = np.zeros(t_pad, dtype=np.float32)
+    lam_tet = np.zeros(t_pad, dtype=np.float32)
+    mu_tet = np.zeros(t_pad, dtype=np.float32)
+    mat_tet = np.zeros(t_pad, dtype=np.int32)
+    if t:
+        rows = preprocess.quad_connectivity[:t]
+        conn_tet[:t] = np.where(rows[:, :4] == SENTINEL, 0, rows[:, :4])
+        grads_tet[:t] = clamp_to_f32(preprocess.quad_gradients[:t, :4])
+        vol_tet[:t] = clamp_to_f32(preprocess.quad_volume[:t])
+        mat_idx = preprocess.quad_material_index[:t]
+        mat_tet[:t] = mat_idx
+        lam_tet[:t] = clamp_to_f32(lam_np[mat_idx])
+        mu_tet[:t] = clamp_to_f32(mu_np[mat_idx])
+
+    conn_hex = np.zeros((h_pad, 8), dtype=np.int32)
+    grads_hex = np.zeros((h_pad, 8, 8, 3), dtype=np.float32)
+    vol_hex = np.zeros((h_pad, 8), dtype=np.float32)
+    lam_hex = np.zeros(h_pad, dtype=np.float32)
+    mu_hex = np.zeros(h_pad, dtype=np.float32)
+    mat_hex = np.zeros(h_pad, dtype=np.int32)
+    if h:
+        rows = preprocess.quad_connectivity[t:].reshape(h, 8, 8)
+        conn_hex[:h] = np.where(rows[:, 0] == SENTINEL, 0, rows[:, 0])
+        grads_hex[:h] = clamp_to_f32(
+            preprocess.quad_gradients[t:].reshape(h, 8, 8, 3)
+        )
+        vol_hex[:h] = clamp_to_f32(preprocess.quad_volume[t:].reshape(h, 8))
+        mat_idx = preprocess.quad_material_index[t:].reshape(h, 8)[:, 0]
+        mat_hex[:h] = mat_idx
+        lam_hex[:h] = clamp_to_f32(lam_np[mat_idx])
+        mu_hex[:h] = clamp_to_f32(mu_np[mat_idx])
+
+    # padded-element conn points at node 0 with zero volume/gradients;
+    # restrict CSR to REAL incidences only
+    csr_idx, csr_weight = _build_dual_csr(
+        conn_tet[:t] if t else np.zeros((0, 4), np.int32),
+        conn_hex[:h] if h else np.zeros((0, 8), np.int32),
+        t_pad,
+        n_pad,
+    )
 
     model = PackedModel(
-        conn=jnp.asarray(conn),
-        gradients=jnp.asarray(gradients),
-        volume=jnp.asarray(volume),
-        lam_q=jnp.asarray(lam_q),
-        mu_q=jnp.asarray(mu_q),
-        material_index=jnp.asarray(material_index),
+        conn_tet=jnp.asarray(conn_tet),
+        grads_tet=jnp.asarray(grads_tet),
+        vol_tet=jnp.asarray(vol_tet),
+        lam_tet=jnp.asarray(lam_tet),
+        mu_tet=jnp.asarray(mu_tet),
+        mat_tet=jnp.asarray(mat_tet),
+        conn_hex=jnp.asarray(conn_hex),
+        grads_hex=jnp.asarray(grads_hex),
+        vol_hex=jnp.asarray(vol_hex),
+        lam_hex=jnp.asarray(lam_hex),
+        mu_hex=jnp.asarray(mu_hex),
+        mat_hex=jnp.asarray(mat_hex),
+        csr_idx=jnp.asarray(csr_idx),
+        csr_weight=jnp.asarray(csr_weight),
         position0=jnp.asarray(position0),
         lumped_mass=jnp.asarray(lumped_mass),
         bc_mask=jnp.asarray(bc_mask),
@@ -199,8 +325,10 @@ def build_packed_model(
         stiffness_6x6=jnp.asarray(clamp_to_f32(d_np)),
         node_count=n,
         padded_node_count=n_pad,
-        quad_count=q,
-        padded_quad_count=q_pad,
+        tet_count=t,
+        padded_tet_count=t_pad,
+        hex_count=h,
+        padded_hex_count=h_pad,
         element_count=mesh.element_count,
     )
     return model, zero_state(model), jnp.asarray(external_force)

@@ -6,8 +6,9 @@ element stiffness the node-diagonal 3x3 block has the closed form
     B_l = V * scale * [ (lam + mu) g_l (x) g_l + mu |g_l|^2 I ]
 
 (the (l,l) sub-block of V * B^T D B), which vectorizes into one fused pass
-over quadrature rows + a segment_sum — identical math to the reference's
-full-Ke-then-extract-diagonal loop (pcg.cpp:280-368), without building Ke.
+over each element block + the same dual-CSR gather assembly used by
+apply_keff — identical math to the reference's full-Ke-then-extract-diagonal
+loop (pcg.cpp:280-368), without building Ke.
 
 Inversion follows the reference's regularization ladder exactly
 (invert_spd_3x3, pcg.cpp:215-268):
@@ -29,27 +30,51 @@ from ..mesh.pack import PackedModel
 _DET_TOL = 1.0e-12
 
 
+def _local_blocks(grads: jax.Array, vol_scale: jax.Array, lam: jax.Array, mu: jax.Array):
+    """Per-(element[, gp], local-node) 3x3 diagonal blocks.
+
+    grads: (..., L, 3); vol_scale/lam/mu broadcastable to (...,).
+    Returns (..., L, 3, 3).
+    """
+    norm_sq = jnp.einsum("...la,...la->...l", grads, grads)
+    outer = jnp.einsum("...la,...lb->...lab", grads, grads)
+    eye = jnp.eye(3, dtype=grads.dtype)
+    lam_mu = (lam + mu)[..., None]
+    scale = vol_scale[..., None]
+    return (scale * lam_mu)[..., None, None] * outer + (
+        (scale * mu[..., None] * norm_sq)[..., None, None] * eye
+    )
+
+
 def assemble_node_blocks(
     model: PackedModel, stiffness_scale, mass_factor
 ) -> jax.Array:
     """Per-node 3x3 K_eff diagonal blocks, (N*, 3, 3) (pcg.cpp:270-378)."""
-    grads = model.gradients  # (Q, 8, 3)
-    norm_sq = jnp.einsum("qla,qla->ql", grads, grads)  # |g_l|^2
-    outer = jnp.einsum("qla,qlb->qlab", grads, grads)
-    eye = jnp.eye(3, dtype=grads.dtype)
-    scale = (model.volume * stiffness_scale)[:, None]
-    lam_mu = (model.lam_q + model.mu_q)[:, None]
-    mu = model.mu_q[:, None]
-    blocks = (scale * lam_mu)[..., None, None] * outer + (
-        (scale * mu * norm_sq)[..., None, None] * eye[None, None]
-    )  # (Q, 8, 3, 3)
+    parts = []
+    if model.padded_tet_count:
+        blocks_t = _local_blocks(
+            model.grads_tet,
+            model.vol_tet * stiffness_scale,
+            model.lam_tet,
+            model.mu_tet,
+        )  # (T, 4, 3, 3)
+        parts.append(blocks_t.reshape(-1, 9))
+    if model.padded_hex_count:
+        blocks_h = _local_blocks(
+            model.grads_hex,
+            (model.vol_hex * stiffness_scale),
+            model.lam_hex[:, None],
+            model.mu_hex[:, None],
+        )  # (H, 8gp, 8l, 3, 3)
+        parts.append(blocks_h.sum(axis=1).reshape(-1, 9))  # gp reduce
+    rows = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
-    n_pad = model.padded_node_count
-    summed = jax.ops.segment_sum(
-        blocks.reshape(-1, 3, 3), model.conn.reshape(-1), num_segments=n_pad + 1
-    )[:n_pad]
+    gathered = rows[model.csr_idx]  # (N*, D, 9)
+    summed = jnp.sum(gathered * model.csr_weight[..., None], axis=1)
+    summed = summed.reshape(-1, 3, 3)
+
     mass = (mass_factor * model.lumped_mass)[:, None, None] * jnp.eye(
-        3, dtype=blocks.dtype
+        3, dtype=summed.dtype
     )
     return summed + mass
 

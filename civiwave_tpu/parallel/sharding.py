@@ -1,0 +1,119 @@
+"""GSPMD sharding of the packed model over a TPU device mesh.
+
+This replaces the reference's single-device descriptor-buffer sharding
+(/root/reference/src/gpu/sharding.cpp:39-144 splits logical buffers into
+<=2 GiB VkBuffers on ONE device) with true multi-chip partitioning:
+
+* quadrature rows shard along the element axis (``conn``, ``gradients``,
+  ``volume``, per-row material constants);
+* nodes shard along the node axis (state, masses, BCs, forces);
+* material tables replicate.
+
+With these input shardings, the jitted Newmark step runs unchanged: XLA
+GSPMD partitions the element einsums per shard, turns the ``segment_sum``
+scatter into the required cross-chip combination for boundary nodes (the
+halo-exchange role of ke_gather_node.slang's CSR gather), and lowers the
+FP64 dot products to per-shard partials + ``psum`` over ICI — directly
+replacing pcg_dot_partials/pcg_reduce_final.slang.
+
+``build_packed_model(pad_nodes=8*n_devices, pad_elems=8*n_devices)`` makes
+every axis evenly divisible, so no resharding is needed at dispatch.
+Explicit owner-computes halo exchange via ``shard_map``/``ppermute`` (to
+keep the gather local to ICI neighbors) is the planned next optimization;
+GSPMD correctness comes first.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..mesh.pack import PackedModel, SimState
+
+
+def make_device_mesh(n_devices: int | None = None, axis_name: str = "shard") -> Mesh:
+    """1-D device mesh over the first ``n_devices`` visible devices."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(
+            f"requested {n_devices} devices, only {len(devices)} visible"
+        )
+    return Mesh(np.asarray(devices[:n_devices]), (axis_name,))
+
+
+def model_shardings(
+    model: PackedModel, mesh: Mesh, axis_name: str = "shard"
+) -> PackedModel:
+    """A PackedModel-shaped pytree of NamedShardings (static metadata kept
+    from ``model`` so the treedefs match for device_put/jit)."""
+    import dataclasses
+
+    row = NamedSharding(mesh, P(axis_name))  # shard leading axis
+    rep = NamedSharding(mesh, P())  # replicate
+    return dataclasses.replace(
+        model,
+        conn_tet=row,
+        grads_tet=row,
+        vol_tet=row,
+        lam_tet=row,
+        mu_tet=row,
+        mat_tet=row,
+        conn_hex=row,
+        grads_hex=row,
+        vol_hex=row,
+        lam_hex=row,
+        mu_hex=row,
+        mat_hex=row,
+        csr_idx=row,
+        csr_weight=row,
+        position0=row,
+        lumped_mass=row,
+        bc_mask=row,
+        bc_value=row,
+        lam=rep,
+        mu=rep,
+        stiffness_6x6=rep,
+    )
+
+
+def state_shardings(mesh: Mesh, axis_name: str = "shard") -> SimState:
+    row = NamedSharding(mesh, P(axis_name))
+    return SimState(row, row, row, row)
+
+
+def shard_simulation(
+    model: PackedModel,
+    state: SimState,
+    external_force: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "shard",
+) -> Tuple[PackedModel, SimState, jax.Array]:
+    """device_put the packed pytrees with row shardings over ``mesh``.
+
+    Requires padded_node_count and padded element counts to be divisible by the
+    mesh size (use ``pad_nodes=8*n``, ``pad_elems=8*n`` when packing).
+    """
+    n = mesh.devices.size
+    if (
+        model.padded_tet_count % n
+        or model.padded_hex_count % n
+        or model.padded_node_count % n
+    ):
+        raise ValueError(
+            "padded counts must divide the device-mesh size: "
+            f"tets={model.padded_tet_count}, hexes={model.padded_hex_count}, "
+            f"nodes={model.padded_node_count}, devices={n}"
+        )
+    m_shard = model_shardings(model, mesh, axis_name)
+    s_shard = state_shardings(mesh, axis_name)
+    row = NamedSharding(mesh, P(axis_name))
+
+    sharded_model = jax.device_put(model, m_shard)
+    sharded_state = jax.device_put(state, s_shard)
+    sharded_force = jax.device_put(external_force, row)
+    return sharded_model, sharded_state, sharded_force

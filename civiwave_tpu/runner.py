@@ -1,0 +1,180 @@
+"""Scenario runner: YAML -> mesh -> pack -> Newmark loop -> VTU/CSV.
+
+The reference library has no CLI (``viewer_demo.cpp`` is its only
+executable); this runner is the deliberate usability addition called out in
+SURVEY.md section 7.  It stitches the canonical pipeline together
+(the call stack in SURVEY.md section 3.1):
+
+    load_config -> load_gmsh -> preprocess.run -> build_packed_model
+    -> NewmarkStepper -> per-frame OutputManager.handle_frame
+
+Usage::
+
+    python -m civiwave_tpu.runner scenario.yaml --frames 100 --output out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from dataclasses import asdict, dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from .config.loader import load_config_from_file
+from .config.schema import Config
+from .mesh import pack, preprocess
+from .mesh.gmsh import load_gmsh_file
+from .mesh.model import Mesh
+from .physics import loads as loads_mod
+from .physics import materials
+from .post.output import OutputManager
+from .solver.stepper import NewmarkStepper, StepTelemetry
+
+
+@dataclass
+class Simulation:
+    """A fully-wired scenario ready to step."""
+
+    config: Config
+    mesh: Mesh
+    preprocess: preprocess.PreprocessOutputs
+    model: pack.PackedModel
+    stepper: NewmarkStepper
+    output: Optional[OutputManager]
+
+    def run(
+        self,
+        frames: int,
+        paused_mode: bool = False,
+        verbose: bool = False,
+    ) -> List[StepTelemetry]:
+        """Advance ``frames`` steps, re-evaluating time-curve loads and
+        writing outputs per frame."""
+        telemetries: List[StepTelemetry] = []
+        has_curves = any(
+            t.scale_curve for t in self.config.loads.tractions
+        ) or any(p.scale_curve for p in self.config.loads.points)
+        t = 0.0
+        for frame in range(frames):
+            if has_curves and frame > 0:
+                load = loads_mod.assemble_load_vector(
+                    self.mesh, self.config, self.preprocess, t
+                )
+                force = np.zeros(
+                    (self.model.padded_node_count, 3), dtype=np.float32
+                )
+                force[: self.mesh.node_count] = pack.clamp_to_f32(load)
+                self.stepper.set_external_force(force)
+
+            telemetry = self.stepper.step(t, paused_mode=paused_mode)
+            telemetries.append(telemetry)
+            t = self.stepper.accumulated_time
+
+            if self.output is not None:
+                self.output.handle_frame(
+                    telemetry.simulation_time,
+                    frame,
+                    self.stepper.displacement(),
+                    self.stepper.velocity(),
+                    self.stepper.acceleration(),
+                )
+            if verbose:
+                print(
+                    f"frame {frame:5d} t={telemetry.simulation_time:.6f}s "
+                    f"dt={telemetry.time_step:.2e} "
+                    f"iters={telemetry.pcg_iterations} "
+                    f"res={telemetry.pcg_residual_norm:.3e} "
+                    f"conv={telemetry.pcg_converged}"
+                )
+        return telemetries
+
+
+def build_simulation(
+    scenario_path: str,
+    output_root: Optional[str] = None,
+    mesh_root: Optional[str] = None,
+) -> Simulation:
+    """Wire the full pipeline from a scenario YAML path."""
+    cfg = load_config_from_file(scenario_path)
+
+    mesh_path = cfg.mesh_path
+    if not os.path.isabs(mesh_path):
+        base = mesh_root if mesh_root is not None else os.getcwd()
+        candidate = os.path.join(base, mesh_path)
+        if not os.path.isfile(candidate):
+            # also try relative to the scenario file itself
+            alt = os.path.join(os.path.dirname(scenario_path), mesh_path)
+            candidate = alt if os.path.isfile(alt) else candidate
+        mesh_path = candidate
+
+    mesh = load_gmsh_file(mesh_path)
+    pre = preprocess.run(mesh, cfg)
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    rayleigh = materials.compute_rayleigh(cfg.damping)
+    model, state, force = pack.build_packed_model(mesh, pre, cfg, mats)
+
+    stepper = NewmarkStepper(
+        model, state, force, rayleigh, cfg.solver, cfg.time
+    )
+
+    output = None
+    if output_root is not None:
+        _, _, d_all = materials.material_tables(mats)
+        output = OutputManager(output_root, cfg.output, mesh, pre, d_all)
+
+    return Simulation(
+        config=cfg,
+        mesh=mesh,
+        preprocess=pre,
+        model=model,
+        stepper=stepper,
+        output=output,
+    )
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="civiwave-tpu", description="Run a CiviWave scenario on TPU/JAX."
+    )
+    parser.add_argument("scenario", help="path to the scenario YAML")
+    parser.add_argument("--frames", type=int, default=10, help="frames to run")
+    parser.add_argument(
+        "--output", default=None, help="output root for VTU/probe files"
+    )
+    parser.add_argument(
+        "--paused", action="store_true", help="use the pause-mode tolerance"
+    )
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument(
+        "--telemetry-json",
+        default=None,
+        help="write per-frame telemetry to this JSON file",
+    )
+    args = parser.parse_args(argv)
+
+    sim = build_simulation(args.scenario, output_root=args.output)
+    start = time.perf_counter()
+    telemetries = sim.run(
+        args.frames, paused_mode=args.paused, verbose=not args.quiet
+    )
+    elapsed = time.perf_counter() - start
+
+    converged = sum(1 for t in telemetries if t.pcg_converged)
+    print(
+        f"ran {len(telemetries)} frames in {elapsed:.3f}s "
+        f"({len(telemetries) / max(elapsed, 1e-9):.1f} steps/s), "
+        f"{converged}/{len(telemetries)} converged, "
+        f"final t={sim.stepper.accumulated_time:.6f}s"
+    )
+    if args.telemetry_json:
+        with open(args.telemetry_json, "w", encoding="utf-8") as f:
+            json.dump([asdict(t) for t in telemetries], f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

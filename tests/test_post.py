@@ -1,0 +1,146 @@
+"""Post-processing tests: derived fields, VTU, probes, output manager.
+
+Mirrors /root/reference/tests/derived_fields_test.cpp (analytic single-tet
+strain/stress) and export_writer_test.cpp (VTU smoke, probe CSV rows,
+OutputManager stride).
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from civiwave_tpu.mesh import preprocess
+from civiwave_tpu.physics import materials
+from civiwave_tpu.post.derived import compute_derived_fields, von_mises
+from civiwave_tpu.post.output import OutputManager
+from civiwave_tpu.post.probes import ProbeLogger
+from civiwave_tpu.post.vtu import write_vtu
+from civiwave_tpu.utils.errors import ProbeError
+from support import single_tet_mesh, tet_config
+
+
+@pytest.fixture
+def tet_setup():
+    mesh = single_tet_mesh()
+    cfg = tet_config()
+    pre = preprocess.run(mesh, cfg)
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    _, _, d_all = materials.material_tables(mats)
+    return mesh, cfg, pre, mats, d_all
+
+
+def test_analytic_uniaxial_strain(tet_setup):
+    mesh, cfg, pre, mats, d_all = tet_setup
+    # u = (0.1 x, 0, 0): strain_xx = 0.1, everything else 0
+    u = np.zeros((4, 3))
+    u[:, 0] = 0.1 * mesh.node_positions[:, 0]
+    fields = compute_derived_fields(pre, d_all, u, 4, 1)
+
+    expected_strain = np.array([0.1, 0, 0, 0, 0, 0])
+    np.testing.assert_allclose(fields.element_strain[0], expected_strain, atol=1e-7)
+    lam, mu = mats[0].lame.lam, mats[0].lame.mu
+    expected_stress = np.array([(lam + 2 * mu) * 0.1, lam * 0.1, lam * 0.1, 0, 0, 0])
+    np.testing.assert_allclose(
+        fields.element_stress[0], expected_stress, rtol=1e-6
+    )
+    # single element: node fields equal the element fields
+    for node in range(4):
+        np.testing.assert_allclose(fields.node_strain[node], expected_strain, atol=1e-7)
+    # von mises for uniaxial-strain stress state
+    vm = von_mises(expected_stress[None])[0]
+    np.testing.assert_allclose(fields.element_von_mises[0], vm, rtol=1e-6)
+
+
+def test_shear_strain_engineering_convention(tet_setup):
+    mesh, cfg, pre, mats, d_all = tet_setup
+    # u = (0.2 y, 0, 0): gamma_xy = 0.2 (engineering shear)
+    u = np.zeros((4, 3))
+    u[:, 0] = 0.2 * mesh.node_positions[:, 1]
+    fields = compute_derived_fields(pre, d_all, u, 4, 1)
+    np.testing.assert_allclose(
+        fields.element_strain[0], [0, 0, 0, 0.2, 0, 0], atol=1e-7
+    )
+    mu = mats[0].lame.mu
+    assert fields.element_stress[0, 3] == pytest.approx(mu * 0.2, rel=1e-6)
+
+
+def test_vtu_smoke(tet_setup, tmp_path):
+    mesh, cfg, pre, mats, d_all = tet_setup
+    u = np.zeros((4, 3), np.float32)
+    u[3, 2] = -0.001
+    fields = compute_derived_fields(pre, d_all, u, 4, 1)
+    path = str(tmp_path / "frame_00000.vtu")
+    write_vtu(path, mesh, u, np.zeros_like(u), np.zeros_like(u), fields, 0.25, 7)
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    head = blob[:2000].decode("ascii", errors="replace")
+    assert '<VTKFile type="UnstructuredGrid"' in head
+    assert 'header_type="UInt32"' in head
+    assert 'Name="time"' in head and ">0.25<" in head
+    assert 'Name="frame"' in head and ">7<" in head
+    assert 'NumberOfPoints="4"' in head and 'NumberOfCells="1"' in head
+    for name in (
+        "displacement",
+        "velocity",
+        "acceleration",
+        "strain_node",
+        "stress_node",
+        "von_mises_node",
+        "strain_elem",
+        "stress_elem",
+        "von_mises_elem",
+    ):
+        assert f'Name="{name}"' in head
+    assert b'<AppendedData encoding="raw">' in blob
+
+    # first appended block is displacement: u32 size + 4*3 f32
+    marker = blob.index(b'encoding="raw">\n_') + len(b'encoding="raw">\n_')
+    (size,) = struct.unpack_from("<I", blob, marker)
+    assert size == 4 * 3 * 4
+    data = np.frombuffer(blob, dtype=np.float32, count=12, offset=marker + 4)
+    np.testing.assert_allclose(data.reshape(4, 3), u)
+
+
+def test_probe_csv(tet_setup, tmp_path):
+    mesh, cfg, pre, mats, d_all = tet_setup
+    u = np.zeros((4, 3), np.float32)
+    fields = compute_derived_fields(pre, d_all, u, 4, 1)
+    path = str(tmp_path / "probes.csv")
+    logger = ProbeLogger(path, [0, 3])
+    logger.log_frame(0.0, 0, u, u, u, fields)
+    logger.log_frame(0.01, 1, u, u, u, fields)
+    lines = open(path).read().strip().splitlines()
+    assert lines[0].startswith("frame,time,node,ux,uy,uz,vx")
+    assert lines[0].endswith("von_mises")
+    assert len(lines) == 5  # header + 2 probes x 2 frames
+    assert lines[1].split(",")[0] == "0"
+    assert lines[1].split(",")[2] == "0"
+    assert lines[2].split(",")[2] == "3"
+
+
+def test_probe_out_of_range(tet_setup, tmp_path):
+    mesh, cfg, pre, mats, d_all = tet_setup
+    u = np.zeros((4, 3), np.float32)
+    fields = compute_derived_fields(pre, d_all, u, 4, 1)
+    logger = ProbeLogger(str(tmp_path / "p.csv"), [99])
+    with pytest.raises(ProbeError, match="probe index out of range"):
+        logger.log_frame(0.0, 0, u, u, u, fields)
+
+
+def test_output_manager_stride(tet_setup, tmp_path):
+    mesh, cfg, pre, mats, d_all = tet_setup
+    from civiwave_tpu.config.schema import OutputSettings
+
+    manager = OutputManager(
+        str(tmp_path), OutputSettings(vtu_stride=2, probes=(0,)), mesh, pre, d_all
+    )
+    u = np.zeros((4, 3), np.float32)
+    for frame in range(4):
+        manager.handle_frame(frame * 0.01, frame, u, u, u)
+    vtu_dir = tmp_path / "vtu"
+    assert sorted(os.listdir(vtu_dir)) == ["frame_00000.vtu", "frame_00002.vtu"]
+    lines = open(tmp_path / "probes" / "probes.csv").read().strip().splitlines()
+    assert len(lines) == 5  # header + 4 frames x 1 probe

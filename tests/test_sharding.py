@@ -1,0 +1,111 @@
+"""Multi-device GSPMD tests on the 8-way virtual CPU mesh.
+
+The reference never tests multi-device behavior (its sharding planner is
+single-GPU buffer splitting); here the actual Newmark step runs sharded over
+8 devices and must match the single-device result bit-for-tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from civiwave_tpu.mesh import pack, preprocess
+from civiwave_tpu.parallel.sharding import (
+    make_device_mesh,
+    model_shardings,
+    shard_simulation,
+    state_shardings,
+)
+from civiwave_tpu.physics import materials
+from civiwave_tpu.solver.stepper import newmark_step
+from support import bar_config, bar_mesh
+
+
+@pytest.fixture(scope="module")
+def eight_device_mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_device_mesh(8)
+
+
+def _build(n_devices):
+    mesh = bar_mesh(4, 2, 2)
+    cfg = bar_config()
+    pre = preprocess.run(mesh, cfg)
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    ray = materials.compute_rayleigh(cfg.damping)
+    model, state, force = pack.build_packed_model(
+        mesh, pre, cfg, mats, pad_nodes=8 * n_devices, pad_elems=8 * n_devices
+    )
+    return mesh, cfg, ray, model, state, force
+
+
+def test_sharded_arrays_land_on_all_devices(eight_device_mesh):
+    _, _, _, model, state, force = _build(8)
+    s_model, s_state, s_force = shard_simulation(
+        model, state, force, eight_device_mesh
+    )
+    assert len(s_model.grads_hex.sharding.device_set) == 8
+    assert len(s_state.displacement.sharding.device_set) == 8
+    assert len(s_force.sharding.device_set) == 8
+    # data integrity after resharding
+    np.testing.assert_array_equal(
+        np.asarray(s_model.conn_hex), np.asarray(model.conn_hex)
+    )
+
+
+def test_sharded_step_matches_single_device(eight_device_mesh):
+    _, cfg, ray, model, state, force = _build(8)
+
+    def step(m, s, f):
+        return newmark_step(
+            m,
+            s,
+            f,
+            0.001,
+            1.0e-7,
+            500,
+            rayleigh_alpha=ray.alpha,
+            rayleigh_beta=ray.beta,
+        )
+
+    # single device
+    out_single = jax.jit(step)(model, state, force)
+
+    # sharded over 8 devices
+    s_model, s_state, s_force = shard_simulation(
+        model, state, force, eight_device_mesh
+    )
+    m_shard = model_shardings(s_model, eight_device_mesh)
+    s_shard = state_shardings(eight_device_mesh)
+    out_sharded = jax.jit(step)(s_model, s_state, s_force)
+
+    u1 = np.asarray(out_single.state.displacement)
+    u8 = np.asarray(out_sharded.state.displacement)
+    scale = np.abs(u1).max() + 1e-30
+    np.testing.assert_allclose(u8, u1, atol=1e-5 * scale)
+    assert bool(out_sharded.pcg.converged)
+    # sharded output keeps its sharding
+    assert len(out_sharded.state.displacement.sharding.device_set) == 8
+
+
+def test_sharded_multi_step_stability(eight_device_mesh):
+    _, cfg, ray, model, state, force = _build(8)
+    s_model, s_state, s_force = shard_simulation(
+        model, state, force, eight_device_mesh
+    )
+
+    step = jax.jit(
+        lambda m, s, f: newmark_step(
+            m, s, f, 0.001, 1.0e-6, 400,
+            rayleigh_alpha=ray.alpha, rayleigh_beta=ray.beta,
+        )
+    )
+    for _ in range(3):
+        out = step(s_model, s_state, s_force)
+        s_state = out.state
+        assert bool(out.pcg.converged)
+    u = np.asarray(s_state.displacement)
+    assert np.isfinite(u).all()
+    assert np.abs(u).max() > 0.0
