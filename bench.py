@@ -34,29 +34,8 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> None:
-    from civiwave_tpu.mesh import pack, preprocess
-    from civiwave_tpu.ops.apply_keff import apply_keff
-    from civiwave_tpu.physics import materials
-    from civiwave_tpu.utils.synthetic import box_mesh, cantilever_config
-
-    size = os.environ.get("CIVIWAVE_BENCH_SIZE", "96,56,56")
-    nx, ny, nz = (int(s) for s in size.split(","))
-
-    t0 = time.perf_counter()
-    mesh = box_mesh(nx, ny, nz, hex_elements=True)
-    cfg = cantilever_config()
-    pre = preprocess.run(mesh, cfg)
-    mats = [materials.make_properties(m) for m in cfg.materials]
-    model, state, _force = pack.build_packed_model(
-        mesh, pre, cfg, mats, pad_nodes=1024, pad_elems=1024
-    )
-    dof = mesh.dof_count
-    log(
-        f"mesh: {nx}x{ny}x{nz} hex | nodes={mesh.node_count:,} dof={dof:,} "
-        f"tets={model.tet_count:,} hexes={model.hex_count:,} | built in {time.perf_counter()-t0:.1f}s"
-    )
-
+def _bench_matvec(model, dof, label, inner=32):
+    """Time `inner` chained matvecs; returns best GDOF/s."""
     # host scalars (np, not jnp): device-array closures would be embedded as
     # HLO constants via a device->host fetch
     stiffness_scale = np.float32(1.0)
@@ -64,14 +43,12 @@ def main() -> None:
     # keep iterates bounded: K entries ~ E, so rescale by 1/E each pass
     rescale = np.float32(1.0 / 2.0e11)
 
-    inner = 32  # matvecs per timed call
-
     @jax.jit
     def chained_matvec(m, x):
         # m passed as argument: closure-captured arrays would be embedded
         # into the HLO as constants (hundreds of MB)
         def body(_, y):
-            return apply_keff(m, y, stiffness_scale, mass_factor) * rescale
+            return m.apply_keff(y, stiffness_scale, mass_factor) * rescale
 
         return jax.lax.fori_loop(0, inner, body, x)
 
@@ -84,14 +61,13 @@ def main() -> None:
         """Run the chain and force completion via a host fetch of a scalar
         (block_until_ready does not reliably block on the axon relay)."""
         y = chained_matvec(model, x)
-        checksum = float(jnp.sum(y[:8]))
+        checksum = float(jnp.sum(jnp.abs(y[:64])))
         return y, checksum
 
     t0 = time.perf_counter()
     result, checksum = run_synced(x0)
-    log(f"compile + first run: {time.perf_counter()-t0:.1f}s (checksum {checksum:.3e})")
+    log(f"[{label}] compile + first run: {time.perf_counter()-t0:.1f}s")
 
-    # timed runs; perturb the input each rep so cached results can't be reused
     best = float("inf")
     for rep in range(5):
         x = x0 + np.float32(1.0e-6 * (rep + 1))
@@ -99,19 +75,63 @@ def main() -> None:
         result, checksum = run_synced(x)
         elapsed = time.perf_counter() - t0
         best = min(best, elapsed)
-        log(f"rep {rep}: {elapsed*1e3:.1f} ms for {inner} matvecs (checksum {checksum:.3e})")
+        log(
+            f"[{label}] rep {rep}: {elapsed*1e3:.1f} ms for {inner} matvecs "
+            f"(checksum {checksum:.3e})"
+        )
     assert np.isfinite(checksum), "matvec chain produced non-finite values"
-
     gdofs = dof * inner / best / 1e9
-    log(f"EBE matvec: {gdofs:.3f} GDOF/s on {jax.devices()[0]}")
+    log(f"[{label}] EBE matvec: {gdofs:.3f} GDOF/s ({best/inner*1e3:.2f} ms/matvec)")
+    return gdofs
+
+
+def main() -> None:
+    from civiwave_tpu.mesh import pack, preprocess
+    from civiwave_tpu.mesh.structured import build_structured_model
+    from civiwave_tpu.physics import materials
+    from civiwave_tpu.utils.synthetic import box_mesh, cantilever_config
+
+    size = os.environ.get("CIVIWAVE_BENCH_SIZE", "96,56,56")
+    nx, ny, nz = (int(s) for s in size.split(","))
+
+    cfg = cantilever_config()
+    mats = [materials.make_properties(m) for m in cfg.materials]
+
+    # structured fast path (the flagship for regular grids)
+    structured, _f = build_structured_model(
+        nx, ny, nz, mats[0], cfg.materials[0].density,
+        traction=(0.0, 0.0, -1.0e6),
+    )
+    dof = structured.dof_count
+    log(
+        f"mesh: {nx}x{ny}x{nz} hex | nodes={structured.node_count:,} "
+        f"dof={dof:,} elements={structured.element_count:,}"
+    )
+    gdofs_structured = _bench_matvec(structured, dof, "structured")
+
+    # general unstructured path on the same box (skippable for speed)
+    gdofs_general = None
+    if os.environ.get("CIVIWAVE_BENCH_GENERAL", "1") == "1":
+        t0 = time.perf_counter()
+        mesh = box_mesh(nx, ny, nz, hex_elements=True)
+        pre = preprocess.run(mesh, cfg)
+        model, state, _force = pack.build_packed_model(
+            mesh, pre, cfg, mats, pad_nodes=1024, pad_elems=1024
+        )
+        log(f"general-path pack built in {time.perf_counter()-t0:.1f}s")
+        gdofs_general = _bench_matvec(model, dof, "general")
+
+    if gdofs_general is not None:
+        log(f"structured/general speedup: {gdofs_structured / gdofs_general:.1f}x")
+    log(f"device: {jax.devices()[0]}")
 
     print(
         json.dumps(
             {
                 "metric": "ebe_matvec_throughput",
-                "value": round(gdofs, 4),
+                "value": round(gdofs_structured, 4),
                 "unit": "GDOF/s",
-                "vs_baseline": round(gdofs / _BASELINE_GDOFS, 3),
+                "vs_baseline": round(gdofs_structured / _BASELINE_GDOFS, 3),
             }
         )
     )

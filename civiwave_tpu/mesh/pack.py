@@ -127,6 +127,17 @@ class PackedModel:
     def force_row_count(self) -> int:
         return self.padded_tet_count * 4 + self.padded_hex_count * 8
 
+    # --- operator protocol (shared with StructuredModel) ------------------
+    def apply_keff(self, x, stiffness_scale, mass_factor):
+        from ..ops import apply_keff as _ops
+
+        return _ops.apply_keff(self, x, stiffness_scale, mass_factor)
+
+    def assemble_node_blocks(self, stiffness_scale, mass_factor):
+        from ..ops import block_jacobi as _ops
+
+        return _ops.assemble_node_blocks(self, stiffness_scale, mass_factor)
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)

@@ -134,7 +134,7 @@ def build_block_jacobi_inverse(
 ) -> jax.Array:
     """(N*, 3, 3) inverse blocks with identity rows on constrained axes
     (pcg.cpp:479-503 + 390-400)."""
-    blocks = assemble_node_blocks(model, stiffness_scale, mass_factor)
+    blocks = model.assemble_node_blocks(stiffness_scale, mass_factor)
     inverse = invert_spd_3x3(blocks)
     eye = jnp.eye(3, dtype=inverse.dtype)
     constrained = model.bc_mask[:, :, None]  # (N, 3, 1) broadcast over columns

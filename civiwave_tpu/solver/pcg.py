@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 
 from ..mesh.pack import PackedModel
-from ..ops.apply_keff import apply_keff
 from ..ops.block_jacobi import apply_preconditioner, build_block_jacobi_inverse
 
 _BREAKDOWN_TOL = 1.0e-18
@@ -99,7 +98,7 @@ def solve_pcg(
 
     x = x0 if warm_start else jnp.zeros_like(x0)
 
-    ax = apply_keff(model, x, stiffness_scale, mass_factor)
+    ax = model.apply_keff(x, stiffness_scale, mass_factor)
     r = (rhs - ax).astype(f32)
     x, r = _clamp_dirichlet(model, rhs, x, r)
 
@@ -128,7 +127,7 @@ def solve_pcg(
         )
 
     def body(carry: _Carry) -> _Carry:
-        ap = apply_keff(model, carry.p, stiffness_scale, mass_factor)
+        ap = model.apply_keff(carry.p, stiffness_scale, mass_factor)
         denom = dot_f64(carry.p, ap)
         breakdown = jnp.abs(denom) < _BREAKDOWN_TOL
         safe_denom = jnp.where(breakdown, 1.0, denom)

@@ -35,7 +35,6 @@ import jax.numpy as jnp
 
 from ..config.schema import SolverSettings, TimeSettings
 from ..mesh.pack import PackedModel, SimState
-from ..ops.apply_keff import apply_keff
 from ..physics.materials import RayleighCoefficients
 from .pcg import PcgTelemetry, solve_pcg
 
@@ -129,8 +128,8 @@ def newmark_step(
     )
     rhs = external_force + mass_term + jnp.float32(rayleigh_alpha) * mass * damping_rhs
     if rayleigh_beta != 0.0:
-        damping_output = apply_keff(
-            model, damping_rhs, jnp.float32(1.0), jnp.float32(0.0)
+        damping_output = model.apply_keff(
+            damping_rhs, jnp.float32(1.0), jnp.float32(0.0)
         )
         # stiffness-only operator has identity rows on constrained axes;
         # match the reference, which adds beta_R * (K * damping_rhs) verbatim
