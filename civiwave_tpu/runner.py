@@ -51,6 +51,8 @@ class Simulation:
         frames: int,
         paused_mode: bool = False,
         verbose: bool = False,
+        checkpoint_manager=None,
+        checkpoint_every: int = 50,
     ) -> List[StepTelemetry]:
         """Advance ``frames`` steps, re-evaluating time-curve loads and
         writing outputs per frame."""
@@ -58,8 +60,9 @@ class Simulation:
         has_curves = any(
             t.scale_curve for t in self.config.loads.tractions
         ) or any(p.scale_curve for p in self.config.loads.points)
-        t = 0.0
-        for frame in range(frames):
+        t = self.stepper.accumulated_time
+        start_frame = self.stepper.frame_index
+        for frame in range(start_frame, start_frame + frames):
             if has_curves and frame > 0:
                 load = loads_mod.assemble_load_vector(
                     self.mesh, self.config, self.preprocess, t
@@ -82,6 +85,13 @@ class Simulation:
                     self.stepper.velocity(),
                     self.stepper.acceleration(),
                 )
+            if (
+                checkpoint_manager is not None
+                and checkpoint_every > 0
+                and frame > 0
+                and frame % checkpoint_every == 0
+            ):
+                self.stepper.save_checkpoint(checkpoint_manager)
             if verbose:
                 print(
                     f"frame {frame:5d} t={telemetry.simulation_time:.6f}s "
@@ -93,15 +103,21 @@ class Simulation:
         return telemetries
 
 
-def build_simulation(
-    scenario_path: str,
-    output_root: Optional[str] = None,
-    mesh_root: Optional[str] = None,
-) -> Simulation:
-    """Wire the full pipeline from a scenario YAML path."""
-    cfg = load_config_from_file(scenario_path)
-
+def _load_mesh(cfg: Config, scenario_path: str, mesh_root: Optional[str]) -> Mesh:
+    """Resolve the mesh: a Gmsh file, or the synthetic box scheme
+    ``synthetic://box/nx,ny,nz[,tet|hex][,spacing]``."""
     mesh_path = cfg.mesh_path
+    if mesh_path.startswith("synthetic://box/"):
+        from .utils.synthetic import box_mesh
+
+        spec = mesh_path[len("synthetic://box/") :].split(",")
+        nx, ny, nz = int(spec[0]), int(spec[1]), int(spec[2])
+        hex_elements = "tet" not in spec[3:]
+        spacing = next(
+            (float(s) for s in spec[3:] if s.replace(".", "", 1).isdigit()), 1.0
+        )
+        return box_mesh(nx, ny, nz, hex_elements=hex_elements, spacing=spacing)
+
     if not os.path.isabs(mesh_path):
         base = mesh_root if mesh_root is not None else os.getcwd()
         candidate = os.path.join(base, mesh_path)
@@ -110,8 +126,17 @@ def build_simulation(
             alt = os.path.join(os.path.dirname(scenario_path), mesh_path)
             candidate = alt if os.path.isfile(alt) else candidate
         mesh_path = candidate
+    return load_gmsh_file(mesh_path)
 
-    mesh = load_gmsh_file(mesh_path)
+
+def build_simulation(
+    scenario_path: str,
+    output_root: Optional[str] = None,
+    mesh_root: Optional[str] = None,
+) -> Simulation:
+    """Wire the full pipeline from a scenario YAML path."""
+    cfg = load_config_from_file(scenario_path)
+    mesh = _load_mesh(cfg, scenario_path, mesh_root)
     pre = preprocess.run(mesh, cfg)
     mats = [materials.make_properties(m) for m in cfg.materials]
     rayleigh = materials.compute_rayleigh(cfg.damping)
@@ -154,14 +179,57 @@ def main(argv: Optional[List[str]] = None) -> int:
         default=None,
         help="write per-frame telemetry to this JSON file",
     )
+    parser.add_argument(
+        "--checkpoint-dir", default=None, help="orbax checkpoint directory"
+    )
+    parser.add_argument(
+        "--checkpoint-every", type=int, default=50, help="frames per checkpoint"
+    )
+    parser.add_argument(
+        "--resume",
+        action="store_true",
+        help="resume from the latest checkpoint in --checkpoint-dir",
+    )
+    parser.add_argument(
+        "--profile",
+        default=None,
+        help="capture a jax.profiler trace into this directory",
+    )
     args = parser.parse_args(argv)
 
     sim = build_simulation(args.scenario, output_root=args.output)
+
+    manager = None
+    if args.checkpoint_dir:
+        from .utils.checkpoint import CheckpointManager
+
+        manager = CheckpointManager(args.checkpoint_dir)
+        if args.resume and manager.latest_step() is not None:
+            frame = sim.stepper.restore_checkpoint(manager)
+            print(f"resumed from checkpoint at frame {frame}")
+
+    profile_ctx = None
+    if args.profile:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
+
     start = time.perf_counter()
     telemetries = sim.run(
-        args.frames, paused_mode=args.paused, verbose=not args.quiet
+        args.frames,
+        paused_mode=args.paused,
+        verbose=not args.quiet,
+        checkpoint_manager=manager,
+        checkpoint_every=args.checkpoint_every,
     )
     elapsed = time.perf_counter() - start
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+    if manager is not None:
+        sim.stepper.save_checkpoint(manager, wait=True)
+        manager.close()
 
     converged = sum(1 for t in telemetries if t.pcg_converged)
     print(

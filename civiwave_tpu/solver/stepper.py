@@ -284,6 +284,26 @@ class NewmarkStepper:
             self.current_dt = self.time_settings.max_dt
             telemetry.dt_clamped_max = True
 
+    # --- checkpoint / resume (improvement over the reference, which has
+    # none — SURVEY.md section 5) -----------------------------------------
+    def save_checkpoint(self, manager, wait: bool = False) -> None:
+        manager.save(
+            self.frame_index,
+            self.state,
+            self.current_dt,
+            self.accumulated_time,
+            wait=wait,
+        )
+
+    def restore_checkpoint(self, manager, step: int | None = None) -> int:
+        """Restore state/dt/clock/frame; returns the restored frame index."""
+        state, current_dt, accumulated_time, frame_index = manager.restore(step)
+        self.state = state
+        self.current_dt = current_dt
+        self.accumulated_time = accumulated_time
+        self.frame_index = frame_index
+        return frame_index
+
     # --- host views of the device state (unpadded) -----------------------
     def displacement(self):
         return jax.device_get(self.state.displacement)[: self.model.node_count]
