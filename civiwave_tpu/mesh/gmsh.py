@@ -38,14 +38,14 @@ _SURFACE_TYPES = {2: 3, 3: 4}  # tri3, quad4
 _NODE_COUNTS = {2: 3, 3: 4, 4: 4, 5: 8}  # mesh.cpp:234-249
 
 
-def load_gmsh_file(path: str) -> Mesh:
+def load_gmsh_file(path: str, use_native=None) -> Mesh:
     """Read and parse a Gmsh 4.1 ASCII file (mesh.cpp:434-445)."""
     try:
         with open(path, "r", encoding="utf-8") as handle:
             contents = handle.read()
     except OSError:
         raise MeshError(f"failed to open mesh file: {path}", [str(path)]) from None
-    return load_gmsh_from_string(contents)
+    return load_gmsh_from_string(contents, use_native=use_native)
 
 
 def _split_sections(contents: str) -> Dict[str, List[str]]:
@@ -128,49 +128,74 @@ def _parse_entities(body: List[str]) -> _Entities:
     return info
 
 
-def _parse_nodes(body: List[str], entities: _Entities):
-    tokens = " ".join(body).split()
-    if not tokens:
-        raise MeshError("unexpected EOF in $Nodes header", ["Nodes"])
-    cursor = 0
+def _parse_nodes(body: List[str], entities: _Entities, use_native=None):
+    from . import native as native_mod
 
-    def take(n: int) -> List[str]:
-        nonlocal cursor
-        if cursor + n > len(tokens):
-            raise MeshError("unexpected EOF reading node data", ["Nodes"])
-        out = tokens[cursor : cursor + n]
-        cursor += n
-        return out
+    if use_native is None:
+        use_native = native_mod.available()
 
-    num_blocks, num_nodes, _min_node, _max_node = (int(x) for x in take(4))
-
-    all_ids: List[np.ndarray] = []
-    all_coords: List[np.ndarray] = []
     nodes_by_group: Dict[int, List[np.ndarray]] = {}
-    running = 0
 
-    for _ in range(num_blocks):
-        entity_dim, entity_tag, _parametric, nodes_in_block = (int(x) for x in take(4))
-        ids = np.array([int(x) for x in take(nodes_in_block)], dtype=np.int64)
-        coords = np.array(
-            [float(x) for x in take(nodes_in_block * 3)], dtype=np.float64
-        ).reshape(nodes_in_block, 3)
-        all_ids.append(ids)
-        all_coords.append(coords)
-        phys_ids = entities.physical_mapping.get((entity_dim, entity_tag))
-        if phys_ids:
-            indices = np.arange(running, running + nodes_in_block, dtype=np.int64)
-            for phys in phys_ids:
-                nodes_by_group.setdefault(phys, []).append(indices)
-        running += nodes_in_block
+    if use_native and native_mod.available():
+        try:
+            ids, coords, blocks = native_mod.parse_nodes_section(
+                "\n".join(body).encode()
+            )
+        except ValueError as exc:
+            raise MeshError(str(exc), ["Nodes"]) from None
+        for entity_dim, entity_tag, first, count in blocks:
+            phys_ids = entities.physical_mapping.get(
+                (int(entity_dim), int(entity_tag))
+            )
+            if phys_ids:
+                indices = np.arange(first, first + count, dtype=np.int64)
+                for phys in phys_ids:
+                    nodes_by_group.setdefault(phys, []).append(indices)
+    else:
+        tokens = " ".join(body).split()
+        if not tokens:
+            raise MeshError("unexpected EOF in $Nodes header", ["Nodes"])
+        cursor = 0
 
-    if running != num_nodes:
-        raise MeshError("node count mismatch", ["Nodes"])
+        def take(n: int) -> List[str]:
+            nonlocal cursor
+            if cursor + n > len(tokens):
+                raise MeshError("unexpected EOF reading node data", ["Nodes"])
+            out = tokens[cursor : cursor + n]
+            cursor += n
+            return out
 
-    ids = np.concatenate(all_ids) if all_ids else np.zeros((0,), np.int64)
-    coords = (
-        np.concatenate(all_coords) if all_coords else np.zeros((0, 3), np.float64)
-    )
+        num_blocks, num_nodes, _min_node, _max_node = (int(x) for x in take(4))
+
+        all_ids: List[np.ndarray] = []
+        all_coords: List[np.ndarray] = []
+        running = 0
+
+        for _ in range(num_blocks):
+            entity_dim, entity_tag, _parametric, nodes_in_block = (
+                int(x) for x in take(4)
+            )
+            ids = np.array([int(x) for x in take(nodes_in_block)], dtype=np.int64)
+            coords = np.array(
+                [float(x) for x in take(nodes_in_block * 3)], dtype=np.float64
+            ).reshape(nodes_in_block, 3)
+            all_ids.append(ids)
+            all_coords.append(coords)
+            phys_ids = entities.physical_mapping.get((entity_dim, entity_tag))
+            if phys_ids:
+                indices = np.arange(running, running + nodes_in_block, dtype=np.int64)
+                for phys in phys_ids:
+                    nodes_by_group.setdefault(phys, []).append(indices)
+            running += nodes_in_block
+
+        if running != num_nodes:
+            raise MeshError("node count mismatch", ["Nodes"])
+
+        ids = np.concatenate(all_ids) if all_ids else np.zeros((0,), np.int64)
+        coords = (
+            np.concatenate(all_coords) if all_coords else np.zeros((0, 3), np.float64)
+        )
+
     id_to_index = {int(original): idx for idx, original in enumerate(ids)}
     node_groups = {
         phys: np.concatenate(chunks) for phys, chunks in nodes_by_group.items()
@@ -178,7 +203,10 @@ def _parse_nodes(body: List[str], entities: _Entities):
     return ids, coords, id_to_index, node_groups
 
 
-def _parse_elements(body: List[str], id_to_index: Dict[int, int], entities: _Entities):
+def _element_blocks_python(body: List[str]):
+    """Yield (dim, tag, etype, tags, raw_nodes) per block from tokenized
+    text, consuming skipped dims silently; final yield is the processed
+    count (mesh.cpp:293-405 semantics)."""
     tokens = " ".join(body).split()
     if not tokens:
         raise MeshError("unexpected EOF in $Elements header", ["Elements"])
@@ -193,6 +221,74 @@ def _parse_elements(body: List[str], id_to_index: Dict[int, int], entities: _Ent
         return out
 
     num_blocks, num_elements, _min_tag, _max_tag = (int(x) for x in take(4))
+    processed = 0
+    blocks = []
+    for _ in range(num_blocks):
+        entity_dim, entity_tag, element_type, elements_in_block = (
+            int(x) for x in take(4)
+        )
+        node_count = _NODE_COUNTS.get(element_type)
+        if node_count is None:
+            raise MeshError(
+                f"unsupported Gmsh element type {element_type}",
+                ["Elements", f"entityTag={entity_tag}"],
+            )
+        rows = np.array(
+            [int(x) for x in take(elements_in_block * (1 + node_count))],
+            dtype=np.int64,
+        ).reshape(elements_in_block, 1 + node_count)
+        processed += elements_in_block
+        if entity_dim in (2, 3):
+            blocks.append(
+                (entity_dim, entity_tag, element_type, rows[:, 0], rows[:, 1:])
+            )
+    if processed != num_elements:
+        raise MeshError("element count mismatch", ["Elements"])
+    return blocks
+
+
+def _element_blocks_native(body: List[str]):
+    """Same contract as :func:`_element_blocks_python` via the C++ parser."""
+    from . import native as native_mod
+
+    try:
+        raw_blocks, tags, conn = native_mod.parse_elements_section(
+            "\n".join(body).encode()
+        )
+    except ValueError as exc:
+        message = str(exc)
+        if "|" in message:
+            message, ctx = message.split("|", 1)
+            raise MeshError(message, ["Elements", ctx]) from None
+        raise MeshError(message, ["Elements"]) from None
+
+    blocks = []
+    conn_cursor = 0
+    for dim, tag, etype, first, count in raw_blocks:
+        node_count = _NODE_COUNTS[int(etype)]
+        block_tags = tags[first : first + count]
+        raw_nodes = conn[conn_cursor : conn_cursor + count * node_count].reshape(
+            count, node_count
+        )
+        conn_cursor += count * node_count
+        blocks.append((int(dim), int(tag), int(etype), block_tags, raw_nodes))
+    return blocks
+
+
+def _parse_elements(
+    body: List[str],
+    id_to_index: Dict[int, int],
+    entities: _Entities,
+    use_native=None,
+):
+    from . import native as native_mod
+
+    if use_native is None:
+        use_native = native_mod.available()
+    if use_native and native_mod.available():
+        block_list = _element_blocks_native(body)
+    else:
+        block_list = _element_blocks_python(body)
 
     vol_conn: List[np.ndarray] = []
     vol_counts: List[np.ndarray] = []
@@ -204,7 +300,6 @@ def _parse_elements(body: List[str], id_to_index: Dict[int, int], entities: _Ent
     surf_ids: List[np.ndarray] = []
     surface_groups: Dict[int, List[np.ndarray]] = {}
     used_physical_ids = set()
-    processed = 0
     surface_running = 0
 
     # id remap table for vectorized lookup
@@ -216,26 +311,11 @@ def _parse_elements(body: List[str], id_to_index: Dict[int, int], entities: _Ent
     else:
         remap = np.full(2, -1, dtype=np.int64)
 
-    for _ in range(num_blocks):
-        entity_dim, entity_tag, element_type, elements_in_block = (
-            int(x) for x in take(4)
-        )
-        node_count = _NODE_COUNTS.get(element_type)
-        if node_count is None:
-            raise MeshError(
-                f"unsupported Gmsh element type {element_type}",
-                ["Elements", f"entityTag={entity_tag}"],
-            )
+    for entity_dim, entity_tag, element_type, tags, raw_nodes in block_list:
+        node_count = _NODE_COUNTS[element_type]
+        elements_in_block = len(tags)
         phys_ids = entities.physical_mapping.get((entity_dim, entity_tag))
         physical_group_id = phys_ids[0] if phys_ids else entity_tag
-
-        rows = np.array(
-            [int(x) for x in take(elements_in_block * (1 + node_count))],
-            dtype=np.int64,
-        ).reshape(elements_in_block, 1 + node_count)
-        processed += elements_in_block
-        tags = rows[:, 0]
-        raw_nodes = rows[:, 1:]
 
         if entity_dim == 3:
             if element_type not in _VOLUME_TYPES:
@@ -249,8 +329,8 @@ def _parse_elements(body: List[str], id_to_index: Dict[int, int], entities: _Ent
                     f"unsupported surface element type {element_type}",
                     ["Elements", f"elementTag={int(tags[0]) if len(tags) else entity_tag}"],
                 )
-        else:
-            continue  # lines / points: consumed silently (mesh.cpp:396-404)
+        else:  # pragma: no cover — block producers already skip other dims
+            continue
 
         out_of_range = (raw_nodes < 0) | (raw_nodes >= remap.shape[0])
         mapped = remap[np.clip(raw_nodes, 0, remap.shape[0] - 1)]
@@ -284,9 +364,6 @@ def _parse_elements(body: List[str], id_to_index: Dict[int, int], entities: _Ent
             surface_groups.setdefault(physical_group_id, []).append(indices)
             surface_running += elements_in_block
 
-    if processed != num_elements:
-        raise MeshError("element count mismatch", ["Elements"])
-
     def cat(parts, empty):
         return np.concatenate(parts) if parts else empty
 
@@ -304,7 +381,7 @@ def _parse_elements(body: List[str], id_to_index: Dict[int, int], entities: _Ent
     )
 
 
-def load_gmsh_from_string(contents: str) -> Mesh:
+def load_gmsh_from_string(contents: str, use_native=None) -> Mesh:
     """Parse Gmsh 4.1 ASCII contents into a :class:`Mesh` (mesh.cpp:447-566)."""
     sections = _split_sections(contents)
 
@@ -318,7 +395,7 @@ def load_gmsh_from_string(contents: str) -> Mesh:
     if "Nodes" not in sections:
         raise MeshError("missing $Nodes section", [])
     node_ids, coords, id_to_index, node_groups = _parse_nodes(
-        sections["Nodes"], entities
+        sections["Nodes"], entities, use_native=use_native
     )
 
     if "Elements" not in sections:
@@ -334,7 +411,9 @@ def load_gmsh_from_string(contents: str) -> Mesh:
         surf_ids,
         surface_groups,
         used_physical_ids,
-    ) = _parse_elements(sections["Elements"], id_to_index, entities)
+    ) = _parse_elements(
+        sections["Elements"], id_to_index, entities, use_native=use_native
+    )
 
     mesh = Mesh(
         node_positions=coords,
