@@ -73,10 +73,13 @@ class StructuredModel:
     nz: int = field(metadata=dict(static=True), default=0)
     node_count: int = field(metadata=dict(static=True), default=0)
     padded_node_count: int = field(metadata=dict(static=True), default=0)
+    # node planes along +X beyond nx+1: dead (fully constrained, massless)
+    # padding so X divides a device mesh evenly
+    pad_planes: int = field(metadata=dict(static=True), default=0)
 
     @property
     def grid_shape(self) -> Tuple[int, int, int]:
-        return (self.nx + 1, self.ny + 1, self.nz + 1)
+        return (self.nx + 1 + self.pad_planes, self.ny + 1, self.nz + 1)
 
     @property
     def dof_count(self) -> int:
@@ -113,17 +116,23 @@ def build_structured_model(
     gravity: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     lam_grid: Optional[np.ndarray] = None,
     mu_grid: Optional[np.ndarray] = None,
+    pad_x_multiple: int = 1,
 ):
     """Build the structured cantilever-style model + initial force.
 
     ``fixed_axis_planes``/``traction_plane``: "x0"/"x1"/"y0"/... meaning the
     min/max plane normal to that axis.  Per-element material overrides come
-    via ``lam_grid``/``mu_grid``.
+    via ``lam_grid``/``mu_grid``.  ``pad_x_multiple`` appends dead node
+    planes along +X until (nx+1+pad) is a multiple — use the device-mesh
+    size so GSPMD shards the grid into even X-slabs (halo exchanges of the
+    shifted stencil slices become neighbor collective-permutes over ICI).
 
     Returns (model, external_force (N,3) f32 jnp array).
     """
     xs, ys, zs = nx + 1, ny + 1, nz + 1
-    n = xs * ys * zs
+    pad_planes = (-xs) % max(pad_x_multiple, 1)
+    xs_pad = xs + pad_planes
+    n = xs_pad * ys * zs
     hx, hy, hz = spacing
 
     # constant Gauss tables from one reference element
@@ -137,31 +146,37 @@ def build_structured_model(
     if mu_grid is None:
         mu_grid = np.full((nx, ny, nz), material.lame.mu, dtype=np.float32)
 
-    # lumped mass: rho * V_cell / 8 scattered to the 8 corners
+    # lumped mass: rho * V_cell / 8 scattered to the 8 corners (pad planes
+    # carry no elements, hence no mass)
     cell_volume = hx * hy * hz
     cell_mass = np.full((nx, ny, nz), density * cell_volume / 8.0)
-    mass_grid = np.zeros((xs, ys, zs))
+    mass_grid = np.zeros((xs_pad, ys, zs))
     for di, dj, dk in CORNERS:
         mass_grid[di : di + nx, dj : dj + ny, dk : dk + nz] += cell_mass
 
-    # node positions
+    # node positions (pad planes continue the lattice)
     gi, gj, gk = np.meshgrid(
-        np.arange(xs) * hx, np.arange(ys) * hy, np.arange(zs) * hz, indexing="ij"
+        np.arange(xs_pad) * hx, np.arange(ys) * hy, np.arange(zs) * hz, indexing="ij"
     )
     position0 = np.stack([gi, gj, gk], axis=-1).reshape(n, 3).astype(np.float32)
 
-    # boundary conditions on axis planes
-    bc_grid = np.zeros((xs, ys, zs, 3), dtype=bool)
+    # boundary conditions on axis planes; dead pad planes fully constrained
+    bc_grid = np.zeros((xs_pad, ys, zs, 3), dtype=bool)
 
     def plane_slice(tag):
         axis = {"x": 0, "y": 1, "z": 2}[tag[0]]
-        index = 0 if tag[1] == "0" else -1
+        # the +X physical boundary is plane xs-1, NOT the padded end
+        if tag[1] == "0":
+            index = 0
+        else:
+            index = (xs - 1) if axis == 0 else -1
         sl = [slice(None)] * 3
         sl[axis] = index
         return tuple(sl)
 
     for tag in fixed_axis_planes:
         bc_grid[plane_slice(tag)] = True
+    bc_grid[xs:] = True  # dead padding
     bc_mask = bc_grid.reshape(n, 3)
     bc_value = np.zeros((n, 3), dtype=np.float32)
 
@@ -198,8 +213,11 @@ def build_structured_model(
         nx=nx,
         ny=ny,
         nz=nz,
-        node_count=n,
+        # pad planes sit at the end of the x-major flat order, so the real
+        # nodes stay a contiguous prefix
+        node_count=xs * ys * zs,
         padded_node_count=n,
+        pad_planes=pad_planes,
     )
     force = jnp.asarray(force_grid.reshape(n, 3).astype(np.float32))
     return model, force

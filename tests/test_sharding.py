@@ -109,3 +109,44 @@ def test_sharded_multi_step_stability(eight_device_mesh):
     u = np.asarray(s_state.displacement)
     assert np.isfinite(u).all()
     assert np.abs(u).max() > 0.0
+
+
+# ---------------------------------------------------------------------------
+# structured X-slab sharding
+# ---------------------------------------------------------------------------
+
+
+def test_structured_slab_sharding_matches_single_device(eight_device_mesh):
+    from civiwave_tpu.mesh.pack import SimState
+    from civiwave_tpu.mesh.structured import build_structured_model
+    from civiwave_tpu.parallel.sharding import shard_structured
+    from civiwave_tpu.utils.synthetic import cantilever_config
+
+    cfg = cantilever_config()
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    ray = materials.compute_rayleigh(cfg.damping)
+    model, force = build_structured_model(
+        6, 3, 3, mats[0], cfg.materials[0].density,
+        traction=(0.0, 0.0, -1.0e6), pad_x_multiple=8,
+    )
+    assert (model.nx + 1 + model.pad_planes) % 8 == 0
+    zeros = jnp.zeros((model.padded_node_count, 3), jnp.float32)
+    state = SimState(zeros, zeros, zeros, zeros)
+
+    def step(m, s, f):
+        return newmark_step(
+            m, s, f, 0.001, 1.0e-7, 500,
+            rayleigh_alpha=ray.alpha, rayleigh_beta=ray.beta,
+        )
+
+    out_single = jax.jit(step)(model, state, force)
+    s_model, s_state, s_force = shard_structured(
+        model, state, force, eight_device_mesh
+    )
+    out_sharded = jax.jit(step)(s_model, s_state, s_force)
+
+    assert bool(out_sharded.pcg.converged)
+    assert len(out_sharded.state.displacement.sharding.device_set) == 8
+    u1 = np.asarray(out_single.state.displacement)
+    u8 = np.asarray(out_sharded.state.displacement)
+    np.testing.assert_allclose(u8, u1, atol=1e-5 * (np.abs(u1).max() + 1e-30))
