@@ -121,6 +121,46 @@ def main() -> None:
         log(f"general-path pack built in {time.perf_counter()-t0:.1f}s")
         gdofs_general = _bench_matvec(model, dof, "general")
 
+    # secondary metric: full Newmark-PCG stepping rate (structured path,
+    # runtime tolerance, warm starts) — the BASELINE.json "steps/sec" figure
+    if os.environ.get("CIVIWAVE_BENCH_STEPS", "1") == "1":
+        from functools import partial
+
+        from civiwave_tpu.mesh.pack import SimState
+        from civiwave_tpu.solver.stepper import newmark_step
+
+        ray = materials.compute_rayleigh(cfg.damping)
+        zeros = jnp.zeros((structured.padded_node_count, 3), jnp.float32)
+        state0 = SimState(zeros, zeros, zeros, zeros)
+        step = partial(
+            newmark_step, rayleigh_alpha=ray.alpha, rayleigh_beta=ray.beta
+        )
+        n_steps = 8
+
+        @jax.jit
+        def run_steps(m, s, f):
+            def body(i, carry):
+                s, iters = carry
+                out = step(m, s, f, 1.0e-3, 2.0e-4, 120)
+                return out.state, iters + out.pcg.iterations
+
+            return jax.lax.fori_loop(
+                0, n_steps, body, (s, jnp.int32(0))
+            )
+
+        final_state, total_iters = run_steps(structured, state0, _f)
+        checksum = float(jnp.sum(jnp.abs(final_state.displacement[:64])))
+        t0 = time.perf_counter()
+        final_state, total_iters = run_steps(structured, state0, _f)
+        checksum = float(jnp.sum(jnp.abs(final_state.displacement[:64])))
+        elapsed = time.perf_counter() - t0
+        steps_per_sec = n_steps / elapsed
+        log(
+            f"[structured] Newmark-PCG: {steps_per_sec:.1f} steps/s at "
+            f"{dof:,} DOF (avg {int(total_iters)/n_steps:.1f} PCG iters/step, "
+            f"tol 2e-4, checksum {checksum:.3e})"
+        )
+
     if gdofs_general is not None:
         log(f"structured/general speedup: {gdofs_structured / gdofs_general:.1f}x")
     log(f"device: {jax.devices()[0]}")

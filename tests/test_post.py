@@ -144,3 +144,18 @@ def test_output_manager_stride(tet_setup, tmp_path):
     assert sorted(os.listdir(vtu_dir)) == ["frame_00000.vtu", "frame_00002.vtu"]
     lines = open(tmp_path / "probes" / "probes.csv").read().strip().splitlines()
     assert len(lines) == 5  # header + 4 frames x 1 probe
+
+
+def test_snapshot_renders_png(tet_setup, tmp_path):
+    from civiwave_tpu.post.derived import compute_derived_fields
+    from civiwave_tpu.post.snapshot import save_snapshot
+
+    mesh, cfg, pre, mats, d_all = tet_setup
+    u = np.zeros((4, 3), np.float32)
+    u[3, 2] = -0.05
+    fields = compute_derived_fields(pre, d_all, u, 4, 1)
+    path = str(tmp_path / "snap.png")
+    save_snapshot(path, mesh, u, fields, deformation_scale=2.0, title="tet")
+    blob = open(path, "rb").read()
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    assert len(blob) > 5000
