@@ -53,15 +53,14 @@ def _bench_matvec(model, dof, label, inner=32):
         return jax.lax.fori_loop(0, inner, body, x)
 
     rng = np.random.default_rng(0)
-    x0 = jnp.asarray(
-        rng.standard_normal((model.padded_node_count, 3)).astype(np.float32)
-    )
+    x0 = jnp.asarray(rng.standard_normal(model.vector_shape).astype(np.float32))
+    mid = x0.size // 2  # interior (non-Dirichlet) slice for the NaN guard
 
     def run_synced(x):
         """Run the chain and force completion via a host fetch of a scalar
         (block_until_ready does not reliably block on the axon relay)."""
         y = chained_matvec(model, x)
-        checksum = float(jnp.sum(jnp.abs(y[:64])))
+        checksum = float(jnp.sum(jnp.abs(y.ravel()[mid : mid + 64])))
         return y, checksum
 
     t0 = time.perf_counter()
@@ -126,12 +125,10 @@ def main() -> None:
     if os.environ.get("CIVIWAVE_BENCH_STEPS", "1") == "1":
         from functools import partial
 
-        from civiwave_tpu.mesh.pack import SimState
         from civiwave_tpu.solver.stepper import newmark_step
 
         ray = materials.compute_rayleigh(cfg.damping)
-        zeros = jnp.zeros((structured.padded_node_count, 3), jnp.float32)
-        state0 = SimState(zeros, zeros, zeros, zeros)
+        state0 = structured.zero_state()
         step = partial(
             newmark_step, rayleigh_alpha=ray.alpha, rayleigh_beta=ray.beta
         )
@@ -148,11 +145,15 @@ def main() -> None:
                 0, n_steps, body, (s, jnp.int32(0))
             )
 
+        def steps_checksum(s):
+            u = s.displacement.ravel()
+            return float(jnp.sum(jnp.abs(u[u.size // 2 : u.size // 2 + 64])))
+
         final_state, total_iters = run_steps(structured, state0, _f)
-        checksum = float(jnp.sum(jnp.abs(final_state.displacement[:64])))
+        checksum = steps_checksum(final_state)
         t0 = time.perf_counter()
         final_state, total_iters = run_steps(structured, state0, _f)
-        checksum = float(jnp.sum(jnp.abs(final_state.displacement[:64])))
+        checksum = steps_checksum(final_state)
         elapsed = time.perf_counter() - t0
         steps_per_sec = n_steps / elapsed
         log(

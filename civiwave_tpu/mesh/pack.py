@@ -128,6 +128,35 @@ class PackedModel:
         return self.padded_tet_count * 4 + self.padded_hex_count * 8
 
     # --- operator protocol (shared with StructuredModel) ------------------
+    # Models own their solver-vector layout: PackedModel vectors are
+    # (N*, 3) nodal rows; StructuredModel vectors are component-separated
+    # (3, X, Y, Z) grids.  The PCG/Newmark stack is layout-agnostic and
+    # reaches layout-dependent pieces only through this protocol.
+    @property
+    def vector_shape(self) -> Tuple[int, ...]:
+        return (self.padded_node_count, 3)
+
+    @property
+    def mass_b(self) -> jax.Array:
+        """Lumped mass broadcastable against solver vectors."""
+        return self.lumped_mass[:, None]
+
+    def zero_state(self) -> "SimState":
+        z = jnp.zeros(self.vector_shape, jnp.float32)
+        return SimState(z, z, z, z)
+
+    def to_nodal(self, vector: jax.Array) -> jax.Array:
+        """Solver vector -> (node_count, 3) nodal rows."""
+        return vector[: self.node_count]
+
+    def from_nodal(self, rows) -> jax.Array:
+        rows = jnp.asarray(rows, jnp.float32)[: self.node_count]
+        return (
+            jnp.zeros(self.vector_shape, jnp.float32)
+            .at[: self.node_count]
+            .set(rows)
+        )
+
     def apply_keff(self, x, stiffness_scale, mass_factor):
         from ..ops import apply_keff as _ops
 
@@ -137,6 +166,18 @@ class PackedModel:
         from ..ops import block_jacobi as _ops
 
         return _ops.assemble_node_blocks(self, stiffness_scale, mass_factor)
+
+    def build_preconditioner(self, stiffness_scale, mass_factor):
+        from ..ops import block_jacobi as _ops
+
+        return _ops.build_block_jacobi_inverse(
+            self, stiffness_scale, mass_factor
+        )
+
+    def apply_preconditioner(self, block_inverse, residual):
+        from ..ops import block_jacobi as _ops
+
+        return _ops.apply_preconditioner(self, block_inverse, residual)
 
 
 @jax.tree_util.register_dataclass
@@ -150,10 +191,9 @@ class SimState:
     warm_x: jax.Array  # previous PCG solution (solver.vector.x)
 
 
-def zero_state(model: PackedModel) -> SimState:
-    shape = (model.padded_node_count, 3)
-    zeros = jnp.zeros(shape, dtype=jnp.float32)
-    return SimState(zeros, zeros, zeros, zeros)
+def zero_state(model) -> SimState:
+    """Zero kinematic state in the model's vector layout."""
+    return model.zero_state()
 
 
 def _build_dual_csr(

@@ -1,24 +1,27 @@
 """Structured-grid fast path: uniform hex8 grids without gathers.
 
 For an axis-aligned box of (nx, ny, nz) uniform hex cells, every element
-shares ONE constant Gauss gradient table, connectivity is implicit, and the
-EBE matvec becomes a 27-point stencil:
+shares ONE constant Gauss gradient table and connectivity is implicit, so
+the EBE matvec becomes a 27-point stencil on the node grid (see
+``ops/structured.py`` for the operator forms).
 
-* the per-element nodal gather = 8 shifted views of the (X, Y, Z, 3) node
-  grid (zero-cost slices — no gather op, no connectivity table in HBM);
-* the scatter-back = 8 shifted adds;
-* HBM traffic per matvec drops from ~300 MB of topology + gradients to just
-  the node vectors (~a few MB), turning the operator compute-bound.
+**Layout (performance-critical, measured on TPU v5e).**  Solver vectors for
+this model are *component-separated grids* (CSG): ``(3, X, Y, Z)`` float32,
+with Z as the minor dimension.  The naive ``(N, 3)`` nodal layout wastes
+~42x of every vector register on lane padding (3 of 128 lanes) and measured
+4x slower on the stencil matvec; component-separated rank-4 grids tile
+cleanly onto (8, 128) vregs.  The solver stack is layout-agnostic — models
+own their vector layout through the operator protocol below — and
+``to_nodal``/``from_nodal`` convert at the (cheap, per-frame) edges.
 
 This is the production fast path for the regular meshes in the north-star
 configs (cantilever/plate/basin); arbitrary Gmsh meshes take the general
 :class:`~civiwave_tpu.mesh.pack.PackedModel` path.  Both expose the same
-operator protocol (``apply_keff`` / ``assemble_node_blocks`` + the node
-tables the solver reads), so PCG/Newmark code is shared.
+operator protocol, so PCG/Newmark code is shared.
 
-The math is bit-identical in structure to the unstructured hex path
-(2x2x2 Gauss, same stress form); equivalence is pinned by tests against
-PackedModel on the same box.
+The math is identical in structure to the unstructured hex path (2x2x2
+Gauss, same stress form, pcg.cpp:561-662 in the reference); equivalence is
+pinned by tests against PackedModel on the same box.
 """
 
 from __future__ import annotations
@@ -31,7 +34,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..physics.materials import ElasticProperties
-from .preprocess import hex_gradients
 
 # corner offsets in Gmsh hex ordering (matches synthetic.box_mesh and
 # preprocess._HEX_XI)
@@ -52,21 +54,20 @@ CORNERS = (
 class StructuredModel:
     """Uniform hex grid model implementing the solver operator protocol.
 
-    Node grid is (X, Y, Z) = (nx+1, ny+1, nz+1), flattened x-major to N
-    rows — the same ordering as :func:`civiwave_tpu.utils.synthetic.box_mesh`.
+    Node grid is (X, Y, Z) = (nx+1+pad, ny+1, nz+1); solver vectors are
+    component-separated ``(3, X, Y, Z)`` f32 (see module docstring).  The
+    nodal order for ``to_nodal``/``from_nodal`` is x-major flattening — the
+    same ordering as :func:`civiwave_tpu.utils.synthetic.box_mesh`.
     """
 
-    # constant element tables (uniform spacing)
-    grads: jax.Array  # (8gp, 8l, 3) f32
-    gp_vol: jax.Array  # (8gp,) f32 — detJ per Gauss point
     # per-element material fields
     lam_grid: jax.Array  # (nx, ny, nz) f32
     mu_grid: jax.Array  # (nx, ny, nz) f32
-    # per node (flattened grid order)
-    lumped_mass: jax.Array  # (N, ) f32
-    bc_mask: jax.Array  # (N, 3) bool
-    bc_value: jax.Array  # (N, 3) f32
-    position0: jax.Array  # (N, 3) f32
+    # node-grid fields (CSG layout)
+    mass_grid: jax.Array  # (X, Y, Z) f32
+    bc_mask: jax.Array  # (3, X, Y, Z) bool
+    bc_value: jax.Array  # (3, X, Y, Z) f32
+    position0: jax.Array  # (N, 3) f32 — host-facing nodal coordinates
     # static metadata
     nx: int = field(metadata=dict(static=True), default=0)
     ny: int = field(metadata=dict(static=True), default=0)
@@ -76,6 +77,15 @@ class StructuredModel:
     # node planes along +X beyond nx+1: dead (fully constrained, massless)
     # padding so X divides a device mesh evenly
     pad_planes: int = field(metadata=dict(static=True), default=0)
+    # uniform cell spacing — the ops derive the constant Gauss tables from
+    # this (concrete numpy values are required to bake stencil constants)
+    spacing: Tuple[float, float, float] = field(
+        metadata=dict(static=True), default=(1.0, 1.0, 1.0)
+    )
+    # homogeneous-material flag selects the constant-stencil operator
+    homogeneous: bool = field(metadata=dict(static=True), default=True)
+    lam0: float = field(metadata=dict(static=True), default=0.0)
+    mu0: float = field(metadata=dict(static=True), default=0.0)
 
     @property
     def grid_shape(self) -> Tuple[int, int, int]:
@@ -90,6 +100,33 @@ class StructuredModel:
         return self.nx * self.ny * self.nz
 
     # --- operator protocol -------------------------------------------------
+    @property
+    def vector_shape(self) -> Tuple[int, ...]:
+        return (3, *self.grid_shape)
+
+    @property
+    def mass_b(self) -> jax.Array:
+        """Lumped mass broadcastable against solver vectors."""
+        return self.mass_grid[None]
+
+    def zero_state(self):
+        from .pack import SimState
+
+        z = jnp.zeros(self.vector_shape, jnp.float32)
+        return SimState(z, z, z, z)
+
+    def to_nodal(self, vector: jax.Array) -> jax.Array:
+        """CSG vector -> (node_count, 3) nodal rows (x-major order)."""
+        flat = jnp.transpose(vector, (1, 2, 3, 0)).reshape(-1, 3)
+        return flat[: self.node_count]
+
+    def from_nodal(self, rows) -> jax.Array:
+        """(node_count, 3) nodal rows -> CSG vector (pad planes zeroed)."""
+        rows = jnp.asarray(rows, jnp.float32)[: self.node_count]
+        total = int(np.prod(self.grid_shape))
+        flat = jnp.zeros((total, 3), jnp.float32).at[: self.node_count].set(rows)
+        return jnp.transpose(flat.reshape(*self.grid_shape, 3), (3, 0, 1, 2))
+
     def apply_keff(self, x, stiffness_scale, mass_factor):
         from ..ops import structured as _ops
 
@@ -100,6 +137,20 @@ class StructuredModel:
 
         return _ops.assemble_node_blocks_structured(
             self, stiffness_scale, mass_factor
+        )
+
+    def build_preconditioner(self, stiffness_scale, mass_factor):
+        from ..ops import structured as _ops
+
+        return _ops.build_block_jacobi_inverse_structured(
+            self, stiffness_scale, mass_factor
+        )
+
+    def apply_preconditioner(self, block_inverse, residual):
+        from ..ops import structured as _ops
+
+        return _ops.apply_preconditioner_structured(
+            self, block_inverse, residual
         )
 
 
@@ -122,12 +173,14 @@ def build_structured_model(
 
     ``fixed_axis_planes``/``traction_plane``: "x0"/"x1"/"y0"/... meaning the
     min/max plane normal to that axis.  Per-element material overrides come
-    via ``lam_grid``/``mu_grid``.  ``pad_x_multiple`` appends dead node
-    planes along +X until (nx+1+pad) is a multiple — use the device-mesh
-    size so GSPMD shards the grid into even X-slabs (halo exchanges of the
-    shifted stencil slices become neighbor collective-permutes over ICI).
+    via ``lam_grid``/``mu_grid`` (a non-uniform grid selects the general
+    corner-gather operator instead of the constant stencil).
+    ``pad_x_multiple`` appends dead node planes along +X until (nx+1+pad) is
+    a multiple — use the device-mesh size so GSPMD shards the grid into even
+    X-slabs (halo exchanges of the shifted stencil slices become neighbor
+    collective-permutes over ICI).
 
-    Returns (model, external_force (N,3) f32 jnp array).
+    Returns (model, external_force (3, X, Y, Z) f32 jnp array).
     """
     xs, ys, zs = nx + 1, ny + 1, nz + 1
     pad_planes = (-xs) % max(pad_x_multiple, 1)
@@ -135,16 +188,19 @@ def build_structured_model(
     n = xs_pad * ys * zs
     hx, hy, hz = spacing
 
-    # constant Gauss tables from one reference element
-    corner_pos = np.array(CORNERS, dtype=np.float64) * np.array([hx, hy, hz])
-    grads, gp_vol = hex_gradients(corner_pos[None])
-    grads = grads[0].astype(np.float32)  # (8gp, 8l, 3)
-    gp_vol = gp_vol[0].astype(np.float32)  # (8,)
-
+    homogeneous = lam_grid is None and mu_grid is None
     if lam_grid is None:
         lam_grid = np.full((nx, ny, nz), material.lame.lam, dtype=np.float32)
     if mu_grid is None:
         mu_grid = np.full((nx, ny, nz), material.lame.mu, dtype=np.float32)
+    lam_grid = np.asarray(lam_grid, np.float32)
+    mu_grid = np.asarray(mu_grid, np.float32)
+    if not homogeneous and (
+        np.all(lam_grid == lam_grid.flat[0]) and np.all(mu_grid == mu_grid.flat[0])
+    ):
+        homogeneous = True
+    lam0 = float(lam_grid.flat[0]) if homogeneous else 0.0
+    mu0 = float(mu_grid.flat[0]) if homogeneous else 0.0
 
     # lumped mass: rho * V_cell / 8 scattered to the 8 corners (pad planes
     # carry no elements, hence no mass)
@@ -177,8 +233,6 @@ def build_structured_model(
     for tag in fixed_axis_planes:
         bc_grid[plane_slice(tag)] = True
     bc_grid[xs:] = True  # dead padding
-    bc_mask = bc_grid.reshape(n, 3)
-    bc_value = np.zeros((n, 3), dtype=np.float32)
 
     # external force: gravity + uniform traction on the loaded plane (equal
     # nodal shares of face area, matching loads.cpp:104-149 for quads)
@@ -202,13 +256,11 @@ def build_structured_model(
     force_grid[sl] = force_grid[sl] + share[..., None] * traction_vec
 
     model = StructuredModel(
-        grads=jnp.asarray(grads),
-        gp_vol=jnp.asarray(gp_vol),
-        lam_grid=jnp.asarray(lam_grid, dtype=jnp.float32),
-        mu_grid=jnp.asarray(mu_grid, dtype=jnp.float32),
-        lumped_mass=jnp.asarray(mass_grid.reshape(n).astype(np.float32)),
-        bc_mask=jnp.asarray(bc_mask),
-        bc_value=jnp.asarray(bc_value),
+        lam_grid=jnp.asarray(lam_grid),
+        mu_grid=jnp.asarray(mu_grid),
+        mass_grid=jnp.asarray(mass_grid.astype(np.float32)),
+        bc_mask=jnp.asarray(bc_grid.transpose(3, 0, 1, 2)),
+        bc_value=jnp.zeros((3, xs_pad, ys, zs), jnp.float32),
         position0=jnp.asarray(position0),
         nx=nx,
         ny=ny,
@@ -218,6 +270,12 @@ def build_structured_model(
         node_count=xs * ys * zs,
         padded_node_count=n,
         pad_planes=pad_planes,
+        spacing=(float(hx), float(hy), float(hz)),
+        homogeneous=homogeneous,
+        lam0=lam0,
+        mu0=mu0,
     )
-    force = jnp.asarray(force_grid.reshape(n, 3).astype(np.float32))
+    force = jnp.asarray(
+        force_grid.transpose(3, 0, 1, 2).astype(np.float32)
+    )
     return model, force

@@ -1,105 +1,384 @@
-"""Stencil-form EBE operator for uniform structured hex grids.
+"""Structured-grid operators in component-separated (3, X, Y, Z) layout.
 
-Same math as ops/apply_keff.py's hex path (2x2x2 Gauss, tensor-form
-isotropic stress), but connectivity is implicit:
+Two operator forms, same math as the unstructured hex path (2x2x2 Gauss,
+tensor-form isotropic stress — reference pcg.cpp:561-662):
 
-* gather  -> 8 shifted slices of the (X, Y, Z, 3) node grid;
-* scatter -> 8 shifted adds back into the node grid.
+**Homogeneous (constant material): assembled constant 27-point stencil.**
+The per-element operator is linear in (lam, mu), so for a uniform grid the
+fully-assembled interior operator is a constant 27-tap stencil of 3x3
+blocks: ``out[b][n] = sum_d sum_c C[d][b][c] * u[c][n+d]``.  Evaluating the
+assembled stencil instead of the element loop cuts the per-matvec work from
+~1200 to ~240 plane-FMAs (measured 4.2x on v5e).  The constant stencil
+assumes full element coverage; the exact operator is recovered by
+inclusion-exclusion boundary corrections — ghost elements form face slabs,
+edge beams and corner cells that are each *translation-invariant in their
+free axes*, so their contributions are lower-dimensional constant stencils
+applied to the 6 boundary planes, 12 edges and 8 corners:
 
-The Gauss gradient table is a single (8, 8, 3) constant, so the only HBM
-traffic is the node vectors and the per-element material grids — the
-operator runs at VPU speed instead of gather speed.
+    real = full - (sum faces - sum edges + sum corners)
+
+Inputs from and outputs to constrained rows (Dirichlet, dead +X pad planes)
+are handled by the usual sanitize/identity-row envelope, which is why only
+ghost slabs adjacent to free planes need corrections (the deeper +X pad
+slabs touch constrained planes only).
+
+**Heterogeneous (per-element lam/mu grids): corner-gather element loop.**
+The 8 shifted corner views of the node grid replace the gather, per-Gauss
+stress is formed with the material grids, and 8 shifted adds scatter back.
+
+All stencil constants are baked as Python floats from the (static) grid
+spacing, so zero taps vanish from the graph and the jitted program stays
+small enough for fast compiles.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
+from typing import Dict, Tuple
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..mesh.structured import CORNERS, StructuredModel
 
+_DET_TOL = 1.0e-12
 
-def _corner_views(u_grid: jax.Array, nx: int, ny: int, nz: int):
-    """The 8 per-corner element views, each (nx, ny, nz, 3)."""
+
+# --------------------------------------------------------------------------
+# constant tables (numpy, cached per spacing/material)
+# --------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=32)
+def _element_tables(spacing: Tuple[float, float, float]):
+    """Constant Gauss gradient table for one uniform cell: (8gp, 8l, 3), (8,)."""
+    from ..mesh.preprocess import hex_gradients
+
+    corner = np.array(CORNERS, np.float64) * np.asarray(spacing, np.float64)
+    grads, gp_vol = hex_gradients(corner[None])
+    return grads[0], gp_vol[0]
+
+
+@lru_cache(maxsize=32)
+def _pair_matrices(spacing: Tuple[float, float, float]):
+    """Constant 24x24 per-element operators: K_e = lam*Klam + mu*Kmu.
+
+    Klam[l,b,m,c] = sum_gp V g[gp,l,b] g[gp,m,c]              (volumetric)
+    Kmu[l,b,m,c]  = d_bc sum_gp V g[gp,l,:].g[gp,m,:]
+                    + sum_gp V g[gp,l,c] g[gp,m,b]            (deviatoric)
+    """
+    grads, gp_vol = _element_tables(spacing)
+    klam = np.einsum("g,glb,gmc->lbmc", gp_vol, grads, grads)
+    kmu1 = np.einsum("g,gla,gma->lm", gp_vol, grads, grads)
+    kmu = np.zeros((8, 3, 8, 3))
+    for b in range(3):
+        kmu[:, b, :, b] += kmu1
+    kmu += np.einsum("g,glc,gmb->lbmc", gp_vol, grads, grads)
+    return klam, kmu
+
+
+def _restricted_stencil(kfull: np.ndarray, fixed: Dict[int, int]) -> np.ndarray:
+    """Assembled stencil over corner pairs restricted to fixed axis slots.
+
+    ``fixed[axis] = s`` keeps only pairs with both corners at slot ``s`` on
+    that axis (s=1: the ghost slab sits on the low side of the plane, s=0:
+    high side).  Free axes become tap dims indexed by (offset + 1), where
+    offset = corner_m - corner_l (input node relative to output node).
+    Returns taps of shape (3,)*len(free) + (3, 3).
+    """
+    free = [a for a in range(3) if a not in fixed]
+    out = np.zeros((3,) * len(free) + (3, 3))
+    for l, cl in enumerate(CORNERS):
+        for m, cm in enumerate(CORNERS):
+            if any(cl[a] != s or cm[a] != s for a, s in fixed.items()):
+                continue
+            idx = tuple(cm[a] - cl[a] + 1 for a in free)
+            out[idx] += kfull[l, :, m, :]
+    return out
+
+
+@lru_cache(maxsize=32)
+def _stencil_tables(spacing, lam0: float, mu0: float):
+    """All constant stencils for a homogeneous grid (see module docstring)."""
+    klam, kmu = _pair_matrices(spacing)
+    kfull = lam0 * klam + mu0 * kmu
+    faces = {}
+    edges = {}
+    corners = {}
+    for axis in range(3):
+        for side in (0, 1):  # 0 = low boundary plane, 1 = high
+            faces[(axis, side)] = _restricted_stencil(kfull, {axis: 1 - side})
+    for a1 in range(3):
+        for a2 in range(a1 + 1, 3):
+            for s1 in (0, 1):
+                for s2 in (0, 1):
+                    edges[(a1, s1, a2, s2)] = _restricted_stencil(
+                        kfull, {a1: 1 - s1, a2: 1 - s2}
+                    )
+    for sx in (0, 1):
+        for sy in (0, 1):
+            for sz in (0, 1):
+                corners[(sx, sy, sz)] = _restricted_stencil(
+                    kfull, {0: 1 - sx, 1: 1 - sy, 2: 1 - sz}
+                )
+    interior = _restricted_stencil(kfull, {})
+    return interior, faces, edges, corners
+
+
+# --------------------------------------------------------------------------
+# stencil application
+# --------------------------------------------------------------------------
+
+
+def _apply_taps(v: jax.Array, taps: np.ndarray) -> jax.Array:
+    """Apply a constant block stencil to ``v`` (3, *spatial) with zero-padded
+    boundaries; taps has shape (3,)*nd + (3, 3), nd = spatial rank."""
+    nd = v.ndim - 1
+    spatial = v.shape[1:]
+    vp = jnp.pad(v, [(0, 0)] + [(1, 1)] * nd) if nd else v
+    rows = [None, None, None]
+    for idx in np.ndindex(*taps.shape[:nd]):
+        blk = taps[idx]
+        window = vp[(slice(None),) + tuple(
+            slice(t, t + s) for t, s in zip(idx, spatial)
+        )]
+        for b in range(3):
+            for c in range(3):
+                w = float(blk[b, c])
+                if w == 0.0:
+                    continue
+                term = np.float32(w) * window[c]
+                rows[b] = term if rows[b] is None else rows[b] + term
+    rows = [
+        r if r is not None else jnp.zeros(spatial, v.dtype) for r in rows
+    ]
+    return jnp.stack(rows)
+
+
+def _apply_homogeneous_stiffness(model: StructuredModel, xs: jax.Array) -> jax.Array:
+    """Exact assembled K*xs for a uniform homogeneous grid (CSG layout)."""
+    interior, faces, edges, corners = _stencil_tables(
+        model.spacing, model.lam0, model.mu0
+    )
+    nx, ny, nz = model.nx, model.ny, model.nz
+    hi = (nx, ny, nz)  # high-side free boundary plane per axis
+
+    out = _apply_taps(xs, interior)
+
+    def axis_plane(arr, axis, side):
+        index = 0 if side == 0 else hi[axis]
+        sl = [slice(None)] * 4
+        sl[1 + axis] = index
+        return tuple(sl)
+
+    # faces: subtract
+    for (axis, side), taps in faces.items():
+        sl = axis_plane(xs, axis, side)
+        out = out.at[sl].add(-_apply_taps(xs[sl], taps))
+    # edges: add back
+    for (a1, s1, a2, s2), taps in edges.items():
+        sl = [slice(None)] * 4
+        sl[1 + a1] = 0 if s1 == 0 else hi[a1]
+        sl[1 + a2] = 0 if s2 == 0 else hi[a2]
+        sl = tuple(sl)
+        out = out.at[sl].add(_apply_taps(xs[sl], taps))
+    # corners: subtract
+    for (sx, sy, sz), taps in corners.items():
+        sl = (
+            slice(None),
+            0 if sx == 0 else hi[0],
+            0 if sy == 0 else hi[1],
+            0 if sz == 0 else hi[2],
+        )
+        out = out.at[sl].add(-_apply_taps(xs[sl], taps))
+    return out
+
+
+def _corner_views(xs: jax.Array, nx: int, ny: int, nz: int):
+    """The 8 per-corner element views of a CSG vector, each (3, nx, ny, nz)."""
     return [
-        u_grid[di : di + nx, dj : dj + ny, dk : dk + nz]
+        xs[:, di : di + nx, dj : dj + ny, dk : dk + nz]
         for (di, dj, dk) in CORNERS
     ]
 
 
-def _scatter_corners(f_corners, grid_shape):
-    """Sum per-corner element fields back onto the node grid."""
-    out = jnp.zeros((*grid_shape, *f_corners[0].shape[3:]), dtype=f_corners[0].dtype)
-    nx, ny, nz = f_corners[0].shape[:3]
-    for (di, dj, dk), f in zip(CORNERS, f_corners):
-        out = out.at[di : di + nx, dj : dj + ny, dk : dk + nz].add(f)
+def _apply_heterogeneous_stiffness(model: StructuredModel, xs: jax.Array) -> jax.Array:
+    """Per-element corner-gather K*xs with material grids (CSG layout)."""
+    grads, gp_vol = _element_tables(model.spacing)
+    nx, ny, nz = model.nx, model.ny, model.nz
+    lam = model.lam_grid
+    mu = model.mu_grid
+    u_l = _corner_views(xs, nx, ny, nz)
+
+    # accumulate per-corner force fields across Gauss points
+    f = [[None] * 3 for _ in range(8)]
+    for gp in range(8):
+        g = [[None] * 3 for _ in range(3)]
+        for a in range(3):
+            for b in range(3):
+                acc = None
+                for l in range(8):
+                    w = float(grads[gp, l, a])
+                    if w == 0.0:
+                        continue
+                    term = np.float32(w) * u_l[l][b]
+                    acc = term if acc is None else acc + term
+                g[a][b] = acc if acc is not None else jnp.zeros(
+                    (nx, ny, nz), xs.dtype
+                )
+        trace = g[0][0] + g[1][1] + g[2][2]
+        vol = float(gp_vol[gp])
+        stress = [[None] * 3 for _ in range(3)]
+        for a in range(3):
+            for b in range(a, 3):
+                s = mu * (g[a][b] + g[b][a])
+                if a == b:
+                    s = s + lam * trace
+                stress[a][b] = stress[b][a] = np.float32(vol) * s
+        for l in range(8):
+            for b in range(3):
+                acc = f[l][b]
+                for a in range(3):
+                    w = float(grads[gp, l, a])
+                    if w == 0.0:
+                        continue
+                    term = np.float32(w) * stress[a][b]
+                    acc = term if acc is None else acc + term
+                f[l][b] = acc
+
+    out = jnp.zeros_like(xs)
+    for l, (di, dj, dk) in enumerate(CORNERS):
+        fl = jnp.stack([f[l][b] for b in range(3)])
+        out = out.at[:, di : di + nx, dj : dj + ny, dk : dk + nz].add(fl)
     return out
 
 
 def apply_keff_structured(
     model: StructuredModel, x: jax.Array, stiffness_scale, mass_factor
 ) -> jax.Array:
-    """K_eff * x as a 27-point stencil; semantics match apply_keff exactly
-    (sanitize -> element forces -> assemble -> mass term -> identity rows).
+    """K_eff * x in CSG layout; semantics match the general operator exactly
+    (sanitize -> stiffness -> scale -> mass term -> identity rows).
     """
-    nx, ny, nz = model.nx, model.ny, model.nz
-    grid_shape = model.grid_shape
-
     xs = jnp.where(model.bc_mask, 0.0, x)
-    u_grid = xs.reshape(*grid_shape, 3)
-    u_l = _corner_views(u_grid, nx, ny, nz)  # 8 x (nx, ny, nz, 3)
-
-    lam = model.lam_grid[..., None, None]
-    mu = model.mu_grid[..., None, None]
-    grads = model.grads  # (8gp, 8l, 3) constant
-    eye = jnp.eye(3, dtype=xs.dtype)
-
-    f_corners = [
-        jnp.zeros((nx, ny, nz, 3), dtype=xs.dtype) for _ in range(8)
-    ]
-    for gp in range(8):
-        # displacement gradient G_ab = sum_l g_la u_lb
-        g_tensor = sum(
-            jnp.einsum("a,...b->...ab", grads[gp, l], u_l[l]) for l in range(8)
-        )
-        trace = g_tensor[..., 0, 0] + g_tensor[..., 1, 1] + g_tensor[..., 2, 2]
-        stress = lam * trace[..., None, None] * eye + mu * (
-            g_tensor + jnp.swapaxes(g_tensor, -1, -2)
-        )
-        weighted = (model.gp_vol[gp] * stiffness_scale) * stress
-        for l in range(8):
-            f_corners[l] = f_corners[l] + jnp.einsum(
-                "a,...ab->...b", grads[gp, l], weighted
-            )
-
-    out = _scatter_corners(f_corners, grid_shape).reshape(-1, 3)
-    out = out + (mass_factor * model.lumped_mass)[:, None] * xs
+    if model.homogeneous:
+        stiff = _apply_homogeneous_stiffness(model, xs)
+    else:
+        stiff = _apply_heterogeneous_stiffness(model, xs)
+    out = stiff * jnp.asarray(stiffness_scale, xs.dtype)
+    out = out + (jnp.asarray(mass_factor, xs.dtype) * model.mass_grid)[None] * xs
     return jnp.where(model.bc_mask, x, out)
+
+
+# --------------------------------------------------------------------------
+# block-Jacobi preconditioner (CSG layout)
+# --------------------------------------------------------------------------
 
 
 def assemble_node_blocks_structured(
     model: StructuredModel, stiffness_scale, mass_factor
 ) -> jax.Array:
-    """Per-node 3x3 K_eff diagonal blocks for the uniform grid.
+    """Per-node 3x3 K_eff diagonal blocks, (3, 3, X, Y, Z).
 
-    Per corner l the gp-summed block is
-    ``scale * [(lam+mu) A_l + mu * b_l I]`` with constant
-    ``A_l = sum_gp V_gp g_gl (x) g_gl`` and ``b_l = sum_gp V_gp |g_gl|^2``.
+    Per corner l the gp-summed diagonal block is
+    ``scale * [(lam+mu) A_l + mu b_l I]`` with constant
+    ``A_l = sum_gp V g_gl (x) g_gl`` and ``b_l = sum_gp V |g_gl|^2``
+    (pcg.cpp:270-378 without building Ke), scattered to the 8 corners.
     """
-    grads = model.grads  # (8gp, 8l, 3)
-    gp_vol = model.gp_vol
-    a_const = jnp.einsum("g,gla,glb->lab", gp_vol, grads, grads)  # (8, 3, 3)
-    b_const = jnp.einsum("g,gla,gla->l", gp_vol, grads, grads)  # (8,)
-    eye = jnp.eye(3, dtype=grads.dtype)
+    grads, gp_vol = _element_tables(model.spacing)
+    a_const = np.einsum("g,gla,glb->lab", gp_vol, grads, grads)  # (8, 3, 3)
+    b_const = np.einsum("g,gla,gla->l", gp_vol, grads, grads)  # (8,)
+    nx, ny, nz = model.nx, model.ny, model.nz
+    grid_shape = model.grid_shape
 
-    lam_mu = (model.lam_grid + model.mu_grid) * stiffness_scale
-    mu = model.mu_grid * stiffness_scale
+    ss = jnp.asarray(stiffness_scale, jnp.float32)
+    lam_mu = (model.lam_grid + model.mu_grid) * ss
+    mu = model.mu_grid * ss
 
-    blocks = [
-        lam_mu[..., None, None] * a_const[l]
-        + (mu * b_const[l])[..., None, None] * eye
-        for l in range(8)
-    ]
-    summed = _scatter_corners(blocks, model.grid_shape).reshape(-1, 3, 3)
-    mass = (mass_factor * model.lumped_mass)[:, None, None] * eye
-    return summed + mass
+    rows = []
+    for a in range(3):
+        for b in range(3):
+            acc = jnp.zeros(grid_shape, jnp.float32)
+            for l, (di, dj, dk) in enumerate(CORNERS):
+                contrib = np.float32(a_const[l, a, b]) * lam_mu
+                if a == b:
+                    contrib = contrib + np.float32(b_const[l]) * mu
+                acc = acc.at[di : di + nx, dj : dj + ny, dk : dk + nz].add(
+                    contrib
+                )
+            if a == b:
+                acc = acc + jnp.asarray(mass_factor, jnp.float32) * model.mass_grid
+            rows.append(acc)
+    return jnp.stack(rows).reshape(3, 3, *grid_shape)
+
+
+def _det3_lead(m: jax.Array) -> jax.Array:
+    return (
+        m[0, 0] * (m[1, 1] * m[2, 2] - m[1, 2] * m[2, 1])
+        - m[0, 1] * (m[1, 0] * m[2, 2] - m[1, 2] * m[2, 0])
+        + m[0, 2] * (m[1, 0] * m[2, 1] - m[1, 1] * m[2, 0])
+    )
+
+
+def _adjugate_lead(m: jax.Array) -> jax.Array:
+    return jnp.stack(
+        [
+            m[1, 1] * m[2, 2] - m[1, 2] * m[2, 1],
+            m[0, 2] * m[2, 1] - m[0, 1] * m[2, 2],
+            m[0, 1] * m[1, 2] - m[0, 2] * m[1, 1],
+            m[1, 2] * m[2, 0] - m[1, 0] * m[2, 2],
+            m[0, 0] * m[2, 2] - m[0, 2] * m[2, 0],
+            m[0, 2] * m[1, 0] - m[0, 0] * m[1, 2],
+            m[1, 0] * m[2, 1] - m[1, 1] * m[2, 0],
+            m[0, 1] * m[2, 0] - m[0, 0] * m[2, 1],
+            m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0],
+        ]
+    ).reshape(3, 3, *m.shape[2:])
+
+
+def _invert_spd_3x3_lead(blocks: jax.Array) -> jax.Array:
+    """Regularized SPD 3x3 inverse on leading axes (pcg.cpp:215-268)."""
+    det = _det3_lead(blocks)
+    singular = jnp.abs(det) < _DET_TOL
+
+    diag = jnp.stack([blocks[0, 0], blocks[1, 1], blocks[2, 2]])
+    max_diag = jnp.max(diag, axis=0)
+    epsilon = jnp.maximum(1.0e-6, max_diag * 1.0e-6 + 1.0e-12)
+    eye = np.eye(3, dtype=np.float32).reshape(
+        3, 3, *([1] * (blocks.ndim - 2))
+    )
+    regularized = jnp.where(
+        singular[None, None], blocks + epsilon[None, None] * eye, blocks
+    )
+    det2 = _det3_lead(regularized)
+    still_singular = jnp.abs(det2) < _DET_TOL
+
+    inv_det = 1.0 / jnp.where(still_singular, 1.0, det2)
+    inverse = _adjugate_lead(regularized) * inv_det[None, None]
+
+    reg_diag = jnp.stack(
+        [regularized[0, 0], regularized[1, 1], regularized[2, 2]]
+    )
+    inv_diag = 1.0 / jnp.maximum(reg_diag, 1.0e-6)
+    diag_only = inv_diag[:, None] * eye
+    return jnp.where(still_singular[None, None], diag_only, inverse)
+
+
+def build_block_jacobi_inverse_structured(
+    model: StructuredModel, stiffness_scale, mass_factor
+) -> jax.Array:
+    """(3, 3, X, Y, Z) inverse blocks with identity rows on constrained axes
+    (pcg.cpp:479-503 + 390-400)."""
+    blocks = assemble_node_blocks_structured(model, stiffness_scale, mass_factor)
+    inverse = _invert_spd_3x3_lead(blocks)
+    eye = np.eye(3, dtype=np.float32).reshape(3, 3, 1, 1, 1)
+    constrained = model.bc_mask[:, None]  # (3, 1, X, Y, Z) — rows
+    return jnp.where(constrained, eye, inverse)
+
+
+def apply_preconditioner_structured(
+    model: StructuredModel, block_inverse: jax.Array, residual: jax.Array
+) -> jax.Array:
+    """z = M^-1 r with constrained outputs zeroed (pcg.cpp:410-456)."""
+    z = jnp.einsum("ab...,b...->a...", block_inverse, residual)
+    return jnp.where(model.bc_mask, 0.0, z)

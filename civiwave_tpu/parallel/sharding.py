@@ -90,39 +90,38 @@ def shard_structured(model, state: SimState, external_force, mesh: Mesh,
                      axis_name: str = "shard"):
     """Shard a StructuredModel simulation into X-slabs over ``mesh``.
 
-    Node arrays shard by rows — with the grid's x-major flat order and
-    ``pad_x_multiple = n_devices`` this is an exact X-slab decomposition, so
-    GSPMD turns the stencil's shifted slices into neighbor halo exchanges
-    (collective-permute of one (Y, Z) plane per step over ICI).  The small
-    constant tables and material grids replicate.
+    Solver vectors are component-separated ``(3, X, Y, Z)`` grids; sharding
+    the X axis (dim 1) with ``pad_x_multiple = n_devices`` gives an exact
+    X-slab decomposition, so GSPMD turns the stencil's shifted slices into
+    neighbor halo exchanges (collective-permute of one (Y, Z) plane per step
+    over ICI).  Material grids and the small host-facing tables replicate.
     """
     import dataclasses
 
     n = mesh.devices.size
-    if model.padded_node_count % n or (model.nx + 1 + model.pad_planes) % n:
+    if (model.nx + 1 + model.pad_planes) % n:
         raise ValueError(
             "grid X extent must divide the device mesh: "
             f"X={model.nx + 1 + model.pad_planes}, devices={n} "
             "(build with pad_x_multiple=n_devices)"
         )
-    row = NamedSharding(mesh, P(axis_name))
+    vec = NamedSharding(mesh, P(None, axis_name))  # (3, X, Y, Z) X-slabs
+    grid = NamedSharding(mesh, P(axis_name))  # (X, Y, Z)
     rep = NamedSharding(mesh, P())
     m_shard = dataclasses.replace(
         model,
-        grads=rep,
-        gp_vol=rep,
         lam_grid=rep,
         mu_grid=rep,
-        lumped_mass=row,
-        bc_mask=row,
-        bc_value=row,
-        position0=row,
+        mass_grid=grid,
+        bc_mask=vec,
+        bc_value=vec,
+        position0=rep,
     )
-    s_shard = state_shardings(mesh, axis_name)
+    s_shard = SimState(vec, vec, vec, vec)
     return (
         jax.device_put(model, m_shard),
         jax.device_put(state, s_shard),
-        jax.device_put(external_force, row),
+        jax.device_put(external_force, vec),
     )
 
 

@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 
 from ..mesh.pack import PackedModel
-from ..ops.block_jacobi import apply_preconditioner, build_block_jacobi_inverse
 
 _BREAKDOWN_TOL = 1.0e-18
 _RHS_NORM_FLOOR = 1.0e-12  # pcg.cpp:774
@@ -48,7 +47,8 @@ class PcgTelemetry(NamedTuple):
 
 
 def dot_f64(a: jax.Array, b: jax.Array) -> jax.Array:
-    """FP64 reduction over (N, 3) f32 vectors — the precision contract.
+    """FP64 reduction over f32 solver vectors (any layout) — the precision
+    contract.
 
     Under GSPMD sharding this lowers to a per-shard f64 partial + psum over
     the mesh axis, mirroring the reference's workgroup-partials design
@@ -94,7 +94,7 @@ def solve_pcg(
     """
     f32 = jnp.float32
 
-    block_inverse = build_block_jacobi_inverse(model, stiffness_scale, mass_factor)
+    block_inverse = model.build_preconditioner(stiffness_scale, mass_factor)
 
     x = x0 if warm_start else jnp.zeros_like(x0)
 
@@ -109,7 +109,7 @@ def solve_pcg(
     residual_norm = jnp.sqrt(dot_f64(r, r))
     converged0 = residual_norm <= tolerance
 
-    z = apply_preconditioner(model, block_inverse, r)
+    z = model.apply_preconditioner(block_inverse, r)
     rho0 = dot_f64(r, z)
     breakdown0 = jnp.logical_and(
         jnp.logical_not(converged0), jnp.abs(rho0) < _BREAKDOWN_TOL
@@ -140,7 +140,7 @@ def solve_pcg(
         residual_norm = jnp.sqrt(dot_f64(r, r))
         converged = residual_norm <= tolerance
 
-        z = apply_preconditioner(model, block_inverse, r)
+        z = model.apply_preconditioner(block_inverse, r)
         rho_new = dot_f64(r, z)
         beta = rho_new / jnp.where(jnp.abs(carry.rho) < _BREAKDOWN_TOL, 1.0, carry.rho)
         rho_breakdown = jnp.logical_and(

@@ -119,7 +119,7 @@ def newmark_step(
     v_pred = v + ((1.0 - gamma) * dt).astype(f32) * acc
 
     # effective RHS from the pre-step state (newmark_stepper.cpp:1162-1217)
-    mass = model.lumped_mass[:, None]
+    mass = model.mass_b
     mass_term = mass * (
         a0.astype(f32) * u + a2.astype(f32) * v + jnp.float32(a3) * acc
     )
@@ -304,12 +304,12 @@ class NewmarkStepper:
         self.frame_index = frame_index
         return frame_index
 
-    # --- host views of the device state (unpadded) -----------------------
+    # --- host views of the device state (unpadded nodal rows) ------------
     def displacement(self):
-        return jax.device_get(self.state.displacement)[: self.model.node_count]
+        return jax.device_get(self.model.to_nodal(self.state.displacement))
 
     def velocity(self):
-        return jax.device_get(self.state.velocity)[: self.model.node_count]
+        return jax.device_get(self.model.to_nodal(self.state.velocity))
 
     def acceleration(self):
-        return jax.device_get(self.state.acceleration)[: self.model.node_count]
+        return jax.device_get(self.model.to_nodal(self.state.acceleration))

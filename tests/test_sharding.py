@@ -117,7 +117,6 @@ def test_sharded_multi_step_stability(eight_device_mesh):
 
 
 def test_structured_slab_sharding_matches_single_device(eight_device_mesh):
-    from civiwave_tpu.mesh.pack import SimState
     from civiwave_tpu.mesh.structured import build_structured_model
     from civiwave_tpu.parallel.sharding import shard_structured
     from civiwave_tpu.utils.synthetic import cantilever_config
@@ -130,8 +129,7 @@ def test_structured_slab_sharding_matches_single_device(eight_device_mesh):
         traction=(0.0, 0.0, -1.0e6), pad_x_multiple=8,
     )
     assert (model.nx + 1 + model.pad_planes) % 8 == 0
-    zeros = jnp.zeros((model.padded_node_count, 3), jnp.float32)
-    state = SimState(zeros, zeros, zeros, zeros)
+    state = model.zero_state()
 
     def step(m, s, f):
         return newmark_step(

@@ -1,8 +1,11 @@
 """Structured fast path vs the general unstructured path — must be equal.
 
-The structured stencil operator and the PackedModel gather operator compute
-the same physics on the same box; this suite pins elementwise equality of
-the matvec, the preconditioner blocks, and full Newmark steps.
+The structured stencil operator (component-separated (3, X, Y, Z) layout)
+and the PackedModel gather operator compute the same physics on the same
+box; this suite pins elementwise equality of the matvec, the preconditioner
+blocks, and full Newmark steps, plus equality of the homogeneous
+constant-stencil operator against the heterogeneous corner-gather operator
+on uniform material grids.
 """
 
 import jax
@@ -12,7 +15,6 @@ import pytest
 
 from civiwave_tpu.mesh import pack, preprocess
 from civiwave_tpu.mesh.structured import build_structured_model
-from civiwave_tpu.ops.block_jacobi import build_block_jacobi_inverse
 from civiwave_tpu.physics import materials
 from civiwave_tpu.solver.pcg import solve_pcg
 from civiwave_tpu.solver.stepper import newmark_step
@@ -44,17 +46,24 @@ def both_models():
     return packed, structured, force_packed, force_structured, ray
 
 
+def _nodal(structured, csg_array):
+    """CSG (c, X, Y, Z) -> (node_count, c...) nodal rows for comparisons."""
+    return np.asarray(structured.to_nodal(jnp.asarray(csg_array)))
+
+
 def test_metadata_and_tables_match(both_models):
     packed, structured, *_ = both_models
     assert structured.node_count == packed.node_count
+    assert structured.homogeneous
+    n = packed.node_count
+    mass_nodal = np.asarray(structured.mass_grid).reshape(-1)[:n]
     np.testing.assert_allclose(
-        np.asarray(structured.lumped_mass),
-        np.asarray(packed.lumped_mass),
-        rtol=1e-6,
+        mass_nodal, np.asarray(packed.lumped_mass)[:n], rtol=1e-6
     )
-    np.testing.assert_array_equal(
-        np.asarray(structured.bc_mask), np.asarray(packed.bc_mask)
+    bc_nodal = (
+        np.asarray(structured.bc_mask).transpose(1, 2, 3, 0).reshape(-1, 3)[:n]
     )
+    np.testing.assert_array_equal(bc_nodal, np.asarray(packed.bc_mask)[:n])
     np.testing.assert_allclose(
         np.asarray(structured.position0), np.asarray(packed.position0)
     )
@@ -63,29 +72,96 @@ def test_metadata_and_tables_match(both_models):
 def test_external_force_matches(both_models):
     packed, structured, force_packed, force_structured, _ = both_models
     np.testing.assert_allclose(
-        np.asarray(force_structured), np.asarray(force_packed), rtol=1e-6, atol=1e-3
+        _nodal(structured, force_structured),
+        np.asarray(force_packed)[: packed.node_count],
+        rtol=1e-6,
+        atol=1e-3,
+    )
+
+
+def test_nodal_roundtrip(both_models):
+    _, structured, _, force_structured, _ = both_models
+    rows = structured.to_nodal(force_structured)
+    back = structured.from_nodal(rows)
+    np.testing.assert_allclose(
+        np.asarray(back), np.asarray(force_structured), rtol=0, atol=0
     )
 
 
 def test_apply_keff_matches(both_models, rng):
     packed, structured, *_ = both_models
-    x = jnp.asarray(
-        rng.standard_normal((packed.padded_node_count, 3)).astype(np.float32) * 0.01
-    )
+    x = rng.standard_normal((packed.node_count, 3)).astype(np.float32) * 0.01
     scale, mf = np.float32(1.3), np.float32(2.5e5)
-    out_packed = np.asarray(jax.jit(lambda m, v: m.apply_keff(v, scale, mf))(packed, x))
-    out_struct = np.asarray(
-        jax.jit(lambda m, v: m.apply_keff(v, scale, mf))(structured, x)
+    out_packed = np.asarray(
+        jax.jit(lambda m, v: m.apply_keff(v, scale, mf))(
+            packed, jnp.asarray(x)
+        )
+    )[: packed.node_count]
+    x_csg = structured.from_nodal(x)
+    out_struct = _nodal(
+        structured,
+        jax.jit(lambda m, v: m.apply_keff(v, scale, mf))(structured, x_csg),
     )
     ref_scale = np.abs(out_packed).max()
     np.testing.assert_allclose(out_struct, out_packed, atol=3e-6 * ref_scale)
 
 
+def test_homogeneous_stencil_matches_corner_path(both_models, rng):
+    """The assembled constant stencil (+ boundary corrections) must equal
+    the general corner-gather element loop on a uniform material grid."""
+    import dataclasses
+
+    _, structured, *_ = both_models
+    assert structured.homogeneous
+    hetero = dataclasses.replace(structured, homogeneous=False)
+    x = jnp.asarray(
+        rng.standard_normal(structured.vector_shape).astype(np.float32)
+    )
+    scale, mf = np.float32(1.1), np.float32(3.0e5)
+    out_fast = np.asarray(
+        jax.jit(lambda m, v: m.apply_keff(v, scale, mf))(structured, x)
+    )
+    out_general = np.asarray(
+        jax.jit(lambda m, v: m.apply_keff(v, scale, mf))(hetero, x)
+    )
+    ref = np.abs(out_general).max()
+    np.testing.assert_allclose(out_fast, out_general, atol=3e-6 * ref)
+
+
+def test_heterogeneous_grid_selects_corner_path(both_models, rng):
+    """A non-uniform material grid must flow through the corner path and
+    reduce to the homogeneous answer when the variation is zeroed."""
+    cfg = cantilever_config(traction=-1.0e6)
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    lam0, mu0 = mats[0].lame.lam, mats[0].lame.mu
+    lam_grid = np.full((NX, NY, NZ), lam0, np.float32)
+    mu_grid = np.full((NX, NY, NZ), mu0, np.float32)
+    lam_grid[0, 0, 0] *= 2.0  # genuinely heterogeneous
+    model_het, _ = build_structured_model(
+        NX, NY, NZ, mats[0], cfg.materials[0].density,
+        traction=(0.0, 0.0, -1.0e6), lam_grid=lam_grid, mu_grid=mu_grid,
+    )
+    assert not model_het.homogeneous
+    # explicit uniform grids are detected as homogeneous
+    model_uniform, _ = build_structured_model(
+        NX, NY, NZ, mats[0], cfg.materials[0].density,
+        traction=(0.0, 0.0, -1.0e6),
+        lam_grid=np.full((NX, NY, NZ), lam0, np.float32),
+        mu_grid=np.full((NX, NY, NZ), mu0, np.float32),
+    )
+    assert model_uniform.homogeneous
+
+
 def test_node_blocks_match(both_models):
     packed, structured, *_ = both_models
     scale, mf = np.float32(1.0), np.float32(1.0e5)
-    blocks_packed = np.asarray(packed.assemble_node_blocks(scale, mf))
-    blocks_struct = np.asarray(structured.assemble_node_blocks(scale, mf))
+    n = packed.node_count
+    blocks_packed = np.asarray(packed.assemble_node_blocks(scale, mf))[:n]
+    blocks_struct = (
+        np.asarray(structured.assemble_node_blocks(scale, mf))
+        .transpose(2, 3, 4, 0, 1)
+        .reshape(-1, 3, 3)[:n]
+    )
     ref = np.abs(blocks_packed).max()
     np.testing.assert_allclose(blocks_struct, blocks_packed, atol=3e-6 * ref)
 
@@ -95,28 +171,27 @@ def test_pcg_solution_matches(both_models):
     scale, mf = np.float32(1.0), np.float32(4.0e6)
     rhs_p = jnp.where(packed.bc_mask, packed.bc_value, force_packed)
     rhs_s = jnp.where(structured.bc_mask, structured.bc_value, force_structured)
-    x0p = jnp.zeros_like(rhs_p)
     sol_p, tel_p = jax.jit(solve_pcg, static_argnames="warm_start")(
-        packed, rhs_p, scale, mf, 1e-8, 1000, x0p, warm_start=False
+        packed, rhs_p, scale, mf, 1e-8, 1000, jnp.zeros_like(rhs_p),
+        warm_start=False,
     )
     sol_s, tel_s = jax.jit(solve_pcg, static_argnames="warm_start")(
-        structured, rhs_s, scale, mf, 1e-8, 1000, jnp.zeros_like(rhs_s), warm_start=False
+        structured, rhs_s, scale, mf, 1e-8, 1000, jnp.zeros_like(rhs_s),
+        warm_start=False,
     )
     assert bool(tel_p.converged) and bool(tel_s.converged)
-    ref = np.abs(np.asarray(sol_p)).max()
+    sol_p = np.asarray(sol_p)[: packed.node_count]
+    ref = np.abs(sol_p).max()
     np.testing.assert_allclose(
-        np.asarray(sol_s), np.asarray(sol_p), atol=1e-4 * ref
+        _nodal(structured, sol_s), sol_p, atol=1e-4 * ref
     )
 
 
 def test_newmark_step_matches(both_models):
     packed, structured, force_packed, force_structured, ray = both_models
-    from civiwave_tpu.mesh.pack import SimState, zero_state
 
     def run(model, force):
-        state = zero_state(model) if hasattr(model, "force_row_count") else SimState(
-            *(jnp.zeros((model.padded_node_count, 3), jnp.float32) for _ in range(4))
-        )
+        state = model.zero_state()
         out = None
         for _ in range(3):
             out = jax.jit(
@@ -127,9 +202,14 @@ def test_newmark_step_matches(both_models):
             )(model, state, force)
             state = out.state
             assert bool(out.pcg.converged)
-        return np.asarray(state.displacement), np.asarray(state.velocity)
+        return state
 
-    u_p, v_p = run(packed, force_packed)
-    u_s, v_s = run(structured, force_structured)
+    state_p = run(packed, force_packed)
+    state_s = run(structured, force_structured)
+    n = packed.node_count
+    u_p = np.asarray(state_p.displacement)[:n]
+    v_p = np.asarray(state_p.velocity)[:n]
+    u_s = _nodal(structured, state_s.displacement)
+    v_s = _nodal(structured, state_s.velocity)
     np.testing.assert_allclose(u_s, u_p, atol=1e-4 * (np.abs(u_p).max() + 1e-30))
     np.testing.assert_allclose(v_s, v_p, atol=1e-3 * (np.abs(v_p).max() + 1e-30))
