@@ -37,6 +37,23 @@ def _blocks_and_offsets(arrays: List[np.ndarray]) -> tuple:
     return bytes(blob), offsets
 
 
+def _cells_arrays(mesh: Mesh):
+    """Vectorized connectivity/offsets/types (the per-element Python loop
+    took seconds per frame at 300k+ elements)."""
+    counts = mesh.element_node_counts.astype(np.int32)
+    if counts.size == 0:
+        return (
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.uint8),
+        )
+    valid = np.arange(mesh.elements.shape[1])[None, :] < counts[:, None]
+    connectivity = mesh.elements[valid].astype(np.int32)  # row-major ragged
+    cell_offsets = np.cumsum(counts, dtype=np.int32)
+    cell_types = np.where(counts == 4, _VTK_TETRA, _VTK_HEX).astype(np.uint8)
+    return connectivity, cell_offsets, cell_types
+
+
 def write_vtu(
     path: str,
     mesh: Mesh,
@@ -47,7 +64,11 @@ def write_vtu(
     simulation_time: float,
     frame_index: int,
 ) -> None:
-    """Write one frame (vtu_writer.cpp:171-291)."""
+    """Write one frame (vtu_writer.cpp:171-291).
+
+    Dispatches to the native C++ writer (native/vtu_fast.cpp) when the
+    toolchain is available; the pure-Python path below is byte-identical.
+    """
     try:
         parent = os.path.dirname(path)
         if parent:
@@ -58,21 +79,7 @@ def write_vtu(
             np.float32
         )
 
-        conn_list = []
-        offsets_list = []
-        types_list = []
-        running = 0
-        for e in range(mesh.element_count):
-            count = int(mesh.element_node_counts[e])
-            conn_list.append(mesh.elements[e, :count].astype(np.int32))
-            running += count
-            offsets_list.append(running)
-            types_list.append(_VTK_TETRA if count == 4 else _VTK_HEX)
-        connectivity = (
-            np.concatenate(conn_list) if conn_list else np.zeros(0, np.int32)
-        )
-        cell_offsets = np.asarray(offsets_list, dtype=np.int32)
-        cell_types = np.asarray(types_list, dtype=np.uint8)
+        connectivity, cell_offsets, cell_types = _cells_arrays(mesh)
 
         point_arrays = [
             ("displacement", 3, displacement[:n].astype(np.float32)),
@@ -87,6 +94,26 @@ def write_vtu(
             ("stress_elem", 6, derived.element_stress.astype(np.float32)),
             ("von_mises_elem", 1, derived.element_von_mises.astype(np.float32)),
         ]
+
+        from . import native_vtu
+
+        if native_vtu.available():
+            status = native_vtu.write_vtu_native(
+                path,
+                points,
+                connectivity,
+                cell_offsets,
+                cell_types,
+                point_arrays,
+                cell_arrays,
+                simulation_time,
+                frame_index,
+            )
+            if status != 0:
+                raise VtuError(
+                    f"native VTU writer failed (status {status})", [str(path)]
+                )
+            return
 
         blob, offs = _blocks_and_offsets(
             [a for _, _, a in point_arrays]
@@ -111,7 +138,7 @@ def write_vtu(
             w("    <FieldData>\n")
             w(
                 f'      <DataArray type="Float64" Name="time" NumberOfTuples="1">'
-                f"{simulation_time}</DataArray>\n"
+                f"{simulation_time:.17g}</DataArray>\n"
             )
             w(
                 f'      <DataArray type="UInt32" Name="frame" NumberOfTuples="1">'

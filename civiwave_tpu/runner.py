@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 from dataclasses import asdict, dataclass
 from typing import List, Optional
@@ -26,6 +27,7 @@ import numpy as np
 
 from .config.loader import load_config_from_file
 from .config.schema import Config
+from .utils.errors import CwfError
 from .mesh import pack, preprocess
 from .mesh.gmsh import load_gmsh_file
 from .mesh.model import Mesh
@@ -197,6 +199,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     args = parser.parse_args(argv)
 
+    try:
+        return _run_cli(args)
+    except CwfError as err:
+        # CwfError carries the reference-style breadcrumbed message
+        # (config.hpp:83-87 analogue); a CLI user gets one clean line,
+        # not a traceback.
+        print(f"error: {err}", file=sys.stderr)
+        return 1
+
+
+def _run_cli(args) -> int:
     sim = build_simulation(args.scenario, output_root=args.output)
 
     manager = None

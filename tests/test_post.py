@@ -159,3 +159,32 @@ def test_snapshot_renders_png(tet_setup, tmp_path):
     blob = open(path, "rb").read()
     assert blob[:8] == b"\x89PNG\r\n\x1a\n"
     assert len(blob) > 5000
+
+
+def test_native_vtu_writer_byte_identical(tet_setup, tmp_path, monkeypatch):
+    """The C++ writer (native/vtu_fast.cpp) must produce byte-identical
+    files to the pure-Python path."""
+    from civiwave_tpu.post import native_vtu
+    from civiwave_tpu.post.derived import compute_derived_fields
+    from civiwave_tpu.post.vtu import write_vtu
+
+    if not native_vtu.available():
+        pytest.skip("no native toolchain")
+
+    mesh, cfg, pre, mats, d_all = tet_setup
+    rng = np.random.default_rng(3)
+    u = rng.standard_normal((4, 3)).astype(np.float32) * 0.01
+    v = rng.standard_normal((4, 3)).astype(np.float32)
+    a = rng.standard_normal((4, 3)).astype(np.float32)
+    fields = compute_derived_fields(pre, d_all, u, 4, 1)
+
+    p_native = str(tmp_path / "native.vtu")
+    write_vtu(p_native, mesh, u, v, a, fields, 0.1, 7)
+
+    p_python = str(tmp_path / "python.vtu")
+    monkeypatch.setattr(native_vtu, "available", lambda: False)
+    write_vtu(p_python, mesh, u, v, a, fields, 0.1, 7)
+
+    native_bytes = open(p_native, "rb").read()
+    python_bytes = open(p_python, "rb").read()
+    assert native_bytes == python_bytes
