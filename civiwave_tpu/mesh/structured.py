@@ -86,6 +86,13 @@ class StructuredModel:
     homogeneous: bool = field(metadata=dict(static=True), default=True)
     lam0: float = field(metadata=dict(static=True), default=0.0)
     mu0: float = field(metadata=dict(static=True), default=0.0)
+    # Pallas slab kernel for the interior stencil (TPU, unsharded only).
+    # Default OFF: measured 0.95 ms vs 0.80 ms for the fused XLA stencil at
+    # 945k DOF on v5e — the op is VPU-bound either way and the layout
+    # shuffling around pallas_call costs more than the HBM it saves (see
+    # ops/pallas/structured_stencil.py).  Kept as an opt-in and for the
+    # bit-exactness test.
+    use_pallas: bool = field(metadata=dict(static=True), default=False)
 
     @property
     def grid_shape(self) -> Tuple[int, int, int]:

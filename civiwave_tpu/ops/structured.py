@@ -205,6 +205,20 @@ def _onehot(size: int, index: int) -> np.ndarray:
     return m
 
 
+def _interior_dispatch(
+    model: StructuredModel, xs: jax.Array, interior: np.ndarray
+) -> jax.Array:
+    """Interior 27-point stencil: Pallas slab kernel on TPU (reads each
+    plane from HBM once), XLA shifted windows elsewhere/sharded."""
+    _, _, y, z = xs.shape
+    if model.use_pallas and jax.default_backend() == "tpu":
+        from .pallas.structured_stencil import interior_stencil_pallas, plane_fits
+
+        if plane_fits(y, z):
+            return interior_stencil_pallas(xs, interior)
+    return _apply_taps(xs, interior)
+
+
 def _apply_homogeneous_stiffness(model: StructuredModel, xs: jax.Array) -> jax.Array:
     """Exact assembled K*xs for a uniform homogeneous grid (CSG layout).
 
@@ -221,7 +235,7 @@ def _apply_homogeneous_stiffness(model: StructuredModel, xs: jax.Array) -> jax.A
     )
     hi = (model.nx, model.ny, model.nz)  # high-side free boundary planes
 
-    out = _apply_taps(xs, interior)
+    out = _interior_dispatch(model, xs, interior)
 
     for (axis, side), face_taps in faces.items():
         plane_sl = [slice(None)] * 4

@@ -108,6 +108,9 @@ def shard_structured(model, state: SimState, external_force, mesh: Mesh,
     vec = NamedSharding(mesh, P(None, axis_name))  # (3, X, Y, Z) X-slabs
     grid = NamedSharding(mesh, P(axis_name))  # (X, Y, Z)
     rep = NamedSharding(mesh, P())
+    # the Pallas slab kernel does not partition under GSPMD — sharded
+    # models use the XLA stencil (its shifted slices become halo exchanges)
+    model = dataclasses.replace(model, use_pallas=False)
     m_shard = dataclasses.replace(
         model,
         lam_grid=rep,

@@ -1,0 +1,104 @@
+"""Interactive solve session: the viewer's simulation backend, headless.
+
+Rebuild of the reference's ``SimulationBackend`` (/root/reference/src/ui/
+viewer.cpp:187-360): it captures a baseline of the kinematic state and the
+external force once, and every interactive solve (1) restores that
+baseline, (2) optionally injects a point load at an anchor node — direction
+safe-normalized with a -Z fallback for degenerate input, scaled by the
+requested magnitude in newtons (apply_custom_load, viewer.cpp:318-340) —
+(3) advances one Newmark frame, and (4) recomputes the derived fields for
+coloring.  The GLFW/ImGui shell is intentionally out of scope (headless
+framework); pair this with :mod:`civiwave_tpu.post.snapshot` for the visual
+side, or ParaView via the VTU output.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..physics import materials as materials_mod
+from ..post.derived import DerivedFieldSet, compute_derived_fields
+from ..solver.stepper import StepTelemetry
+from ..utils.vec3 import magnitude, safe_normalize
+
+
+@dataclass
+class PointLoadRequest:
+    """Interactive load (StressVectorRequest, viewer.cpp:880-900)."""
+
+    enabled: bool = False
+    anchor: int = 0
+    direction: Tuple[float, float, float] = (0.0, 0.0, -1.0)
+    magnitude_newtons: float = 0.0
+
+
+class InteractiveSession:
+    """Baseline-capturing interactive wrapper around a Simulation."""
+
+    def __init__(self, simulation) -> None:
+        self._sim = simulation
+        self._stepper = simulation.stepper
+        self._model = simulation.model
+        # baseline snapshot (capture_baseline_state, viewer.cpp:283-290)
+        self._baseline_state = self._stepper.state
+        self._baseline_force = self._stepper.external_force
+        self._baseline_time = self._stepper.accumulated_time
+        self._baseline_dt = self._stepper.current_dt
+        mats = [
+            materials_mod.make_properties(m)
+            for m in simulation.config.materials
+        ]
+        _, _, self._d_all = materials_mod.material_tables(mats)
+
+    def reset(self) -> None:
+        """Restore the baseline state/force (restore_node_state +
+        restore_external_force, viewer.cpp:292-318)."""
+        self._stepper.state = self._baseline_state
+        self._stepper.external_force = self._baseline_force
+        self._stepper.accumulated_time = self._baseline_time
+        self._stepper.current_dt = self._baseline_dt
+
+    def _inject_point_load(self, request: PointLoadRequest):
+        """apply_custom_load (viewer.cpp:318-340): normalize the direction
+        (fallback -Z for degenerate input), add magnitude * direction at
+        the clamped anchor node."""
+        node = min(max(int(request.anchor), 0), self._model.node_count - 1)
+        direction = np.asarray(request.direction, np.float64)
+        if magnitude(direction) < 1.0e-6:
+            direction = np.array([0.0, 0.0, -1.0])
+        else:
+            direction = safe_normalize(direction)
+        load = (direction * request.magnitude_newtons).astype(np.float32)
+
+        rows = np.asarray(
+            self._model.to_nodal(self._baseline_force), np.float32
+        ).copy()
+        rows[node] += load
+        return self._model.from_nodal(rows)
+
+    def solve(
+        self,
+        request: Optional[PointLoadRequest] = None,
+        paused_mode: bool = False,
+    ) -> Tuple[StepTelemetry, DerivedFieldSet]:
+        """One interactive frame from the baseline (SimulationBackend::
+        solve, viewer.cpp:255-278): restore, inject, step, derive."""
+        self.reset()
+        if request is not None and request.enabled:
+            self._stepper.external_force = self._inject_point_load(request)
+
+        telemetry = self._stepper.step(
+            self._stepper.accumulated_time, paused_mode
+        )
+        u = self._stepper.displacement()
+        derived = compute_derived_fields(
+            self._sim.preprocess,
+            self._d_all,
+            u,
+            self._sim.mesh.node_count,
+            self._sim.mesh.element_count,
+        )
+        return telemetry, derived

@@ -213,3 +213,25 @@ def test_newmark_step_matches(both_models):
     v_s = _nodal(structured, state_s.velocity)
     np.testing.assert_allclose(u_s, u_p, atol=1e-4 * (np.abs(u_p).max() + 1e-30))
     np.testing.assert_allclose(v_s, v_p, atol=1e-3 * (np.abs(v_p).max() + 1e-30))
+
+
+def test_pallas_interior_stencil_matches_xla(both_models, rng):
+    """The Pallas slab kernel (interpret mode on CPU) must equal the XLA
+    shifted-window interior stencil."""
+    from civiwave_tpu.ops.pallas.structured_stencil import (
+        interior_stencil_pallas,
+        plane_fits,
+    )
+    from civiwave_tpu.ops.structured import _apply_taps, _stencil_tables
+
+    _, structured, *_ = both_models
+    assert plane_fits(structured.ny + 1, structured.nz + 1)
+    interior, *_rest = _stencil_tables(
+        structured.spacing, structured.lam0, structured.mu0
+    )
+    xs = jnp.asarray(
+        rng.standard_normal(structured.vector_shape).astype(np.float32)
+    )
+    ref = np.asarray(_apply_taps(xs, interior))
+    out = np.asarray(interior_stencil_pallas(xs, interior, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-5 * (np.abs(ref).max() + 1e-30))
