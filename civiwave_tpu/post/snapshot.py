@@ -19,23 +19,65 @@ from ..mesh.model import Mesh, SENTINEL
 from .derived import DerivedFieldSet
 
 
-def _surface_triangles(mesh: Mesh) -> np.ndarray:
-    """All boundary triangles: tri3 surfaces + quad4 split into two."""
+# local face corner indices per element type (outward ordering irrelevant
+# for unlit surface plots)
+_TET_FACES = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3], [1, 2, 3]])
+_HEX_FACES = np.array(
+    [
+        [0, 1, 2, 3],
+        [4, 5, 6, 7],
+        [0, 1, 5, 4],
+        [3, 2, 6, 7],
+        [0, 3, 7, 4],
+        [1, 2, 6, 5],
+    ]
+)
+
+
+def _boundary_faces(mesh: Mesh) -> np.ndarray:
+    """Hull triangles from the volume elements: element faces that appear
+    exactly once are on the boundary (vectorized sorted-key counting)."""
+    faces = []
+    counts = mesh.element_node_counts
+    for nodes_per, table in ((4, _TET_FACES), (8, _HEX_FACES)):
+        elems = mesh.elements[counts == nodes_per]
+        if elems.size:
+            faces.append(elems[:, table].reshape(-1, table.shape[1]))
     tris = []
+    for group in faces:
+        key = np.sort(group, axis=1)
+        _, inverse, cnt = np.unique(
+            key, axis=0, return_inverse=True, return_counts=True
+        )
+        boundary = group[cnt[inverse] == 1]
+        if boundary.shape[1] == 3:
+            tris.append(boundary)
+        else:
+            tris.append(boundary[:, [0, 1, 2]])
+            tris.append(boundary[:, [0, 2, 3]])
+    if not tris:
+        return np.zeros((0, 3), np.int64)
+    return np.concatenate(tris).astype(np.int64)
+
+
+def _surface_triangles(mesh: Mesh) -> np.ndarray:
+    """Hull triangles: extracted from the volume elements (faces used by
+    exactly one element), falling back to tagged surface groups for
+    surface-only meshes."""
+    tris = _boundary_faces(mesh)
+    if tris.size:
+        return tris
+    out = []
     for idx in range(len(mesh.surfaces)):
         conn = mesh.surfaces[idx]
         if mesh.surface_node_counts[idx] == 3:
-            tris.append(conn[:3])
+            out.append(conn[:3])
         else:
-            tris.append(conn[[0, 1, 2]])
-            tris.append(conn[[0, 2, 3]])
-    if not tris:
-        # fall back to element faces of tets (first 3-node face)
-        for e in range(mesh.element_count):
-            conn = mesh.elements[e]
-            if mesh.element_node_counts[e] == 4:
-                tris += [conn[[0, 1, 2]], conn[[0, 1, 3]], conn[[0, 2, 3]], conn[[1, 2, 3]]]
-    return np.asarray(tris, dtype=np.int64)
+            out.append(conn[[0, 1, 2]])
+            out.append(conn[[0, 2, 3]])
+    return (
+        np.asarray(out, dtype=np.int64) if out else np.zeros((0, 3), np.int64)
+    )
 
 
 def save_snapshot(
