@@ -219,55 +219,69 @@ def _interior_dispatch(
     return _apply_taps(xs, interior)
 
 
+def _face_correction(model: StructuredModel, xs, axis, side, tables):
+    """Correction plane for one face, with its assigned edge/corner terms
+    folded in as dense masked ops (one-hot row/point masks — per-slice
+    ``.at[].add`` on either the output or the small plane broke fusion)."""
+    _, faces, edges, corners = tables
+    hi = (model.nx, model.ny, model.nz)
+    plane_sl = [slice(None)] * 4
+    plane_sl[1 + axis] = 0 if side == 0 else hi[axis]
+    plane_sl = tuple(plane_sl)
+    plane = xs[plane_sl]  # (3, d1, d2)
+    corr = _apply_taps(plane, faces[(axis, side)])
+    rem = [a for a in range(3) if a != axis]  # plane's spatial axes
+    d1, d2 = plane.shape[1], plane.shape[2]
+    # edges assigned to their lower-axis face: sign flips inside corr
+    # (out -= corr, so -edge here means +edge in out)
+    for (a1, s1, a2, s2), edge_taps in edges.items():
+        if a1 != axis or s1 != side:
+            continue
+        pos = rem.index(a2)  # plane axis the edge line is pinned on
+        pinned = 0 if s2 == 0 else hi[a2]
+        mask = (
+            _onehot(d1, pinned)[None, :, None]
+            if pos == 0
+            else _onehot(d2, pinned)[None, None, :]
+        )
+        corr = corr - mask * _apply_taps_axis(plane, edge_taps, 1 - pos)
+    # corners assigned to their x face (+corner here -> -corner in out)
+    if axis == 0:
+        for (sx, sy, sz), corner_taps in corners.items():
+            if sx != side:
+                continue
+            mask = (
+                _onehot(d1, 0 if sy == 0 else hi[1])[None, :, None]
+                * _onehot(d2, 0 if sz == 0 else hi[2])[None, None, :]
+            )
+            corr = corr + mask * _matvec_const(plane, corner_taps)
+    return plane_sl, corr
+
+
 def _apply_homogeneous_stiffness(model: StructuredModel, xs: jax.Array) -> jax.Array:
     """Exact assembled K*xs for a uniform homogeneous grid (CSG layout).
 
-    Edge and corner terms are folded into the six face-plane correction
-    buffers as *dense masked* plane ops (apply the lower-dimensional stencil
-    at every plane position, multiply by a constant one-hot row/point mask):
-    everything per face fuses into one kernel and the full-size output sees
-    exactly SIX sliced updates.  The naive form — separate full-array
-    ``.at[].add`` per edge/corner — forced whole-array copies and tripled
-    the matvec cost on v5e; even per-plane ``.at[].add`` broke fusion.
+    Interior constant stencil minus six face-plane correction buffers
+    (edges/corners folded in as dense masked ops) — the output sees exactly
+    SIX sliced updates.
+
+    KNOWN SCALING CLIFF + miscompile hazard (v5e, jax 0.9.0): XLA's fusion
+    of the correction ops degrades superlinearly with volume (945k DOF:
+    1.02 ms; 4.5M DOF: 6.8 ms where the interior alone scales cleanly at
+    1.2 ms).  Fencing the correction planes behind
+    ``jax.lax.optimization_barrier`` timed 2.4 ms at 4.5M — but under jit
+    on the TPU backend it MISCOMPILES (outputs wrong by O(1) relative
+    error everywhere, NaN-diverging PCG), while CPU jit stays bit-exact.
+    Do not reintroduce the barrier without elementwise-validating the
+    jitted TPU output against the fused path.
     """
-    interior, faces, edges, corners = _stencil_tables(
-        model.spacing, model.lam0, model.mu0
-    )
-    hi = (model.nx, model.ny, model.nz)  # high-side free boundary planes
+    tables = _stencil_tables(model.spacing, model.lam0, model.mu0)
+    interior = tables[0]
 
     out = _interior_dispatch(model, xs, interior)
 
-    for (axis, side), face_taps in faces.items():
-        plane_sl = [slice(None)] * 4
-        plane_sl[1 + axis] = 0 if side == 0 else hi[axis]
-        plane_sl = tuple(plane_sl)
-        plane = xs[plane_sl]  # (3, d1, d2)
-        corr = _apply_taps(plane, face_taps)
-        rem = [a for a in range(3) if a != axis]  # plane's spatial axes
-        d1, d2 = plane.shape[1], plane.shape[2]
-        # edges assigned to their lower-axis face: sign flips inside corr
-        # (out -= corr, so -edge here means +edge in out)
-        for (a1, s1, a2, s2), edge_taps in edges.items():
-            if a1 != axis or s1 != side:
-                continue
-            pos = rem.index(a2)  # plane axis the edge line is pinned on
-            pinned = 0 if s2 == 0 else hi[a2]
-            mask = (
-                _onehot(d1, pinned)[None, :, None]
-                if pos == 0
-                else _onehot(d2, pinned)[None, None, :]
-            )
-            corr = corr - mask * _apply_taps_axis(plane, edge_taps, 1 - pos)
-        # corners assigned to their x face (+corner here -> -corner in out)
-        if axis == 0:
-            for (sx, sy, sz), corner_taps in corners.items():
-                if sx != side:
-                    continue
-                mask = (
-                    _onehot(d1, 0 if sy == 0 else hi[1])[None, :, None]
-                    * _onehot(d2, 0 if sz == 0 else hi[2])[None, None, :]
-                )
-                corr = corr + mask * _matvec_const(plane, corner_taps)
+    for (axis, side) in tables[1]:
+        plane_sl, corr = _face_correction(model, xs, axis, side, tables)
         out = out.at[plane_sl].add(-corr)
     return out
 

@@ -32,6 +32,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..mesh.pack import PackedModel, SimState
+from ..utils.errors import ShardError
 
 
 def make_device_mesh(n_devices: int | None = None, axis_name: str = "shard") -> Mesh:
@@ -40,8 +41,9 @@ def make_device_mesh(n_devices: int | None = None, axis_name: str = "shard") -> 
     if n_devices is None:
         n_devices = len(devices)
     if n_devices > len(devices):
-        raise ValueError(
-            f"requested {n_devices} devices, only {len(devices)} visible"
+        raise ShardError(
+            "requested more devices than visible",
+            [f"requested={n_devices}", f"visible={len(devices)}"],
         )
     return Mesh(np.asarray(devices[:n_devices]), (axis_name,))
 
@@ -100,10 +102,10 @@ def shard_structured(model, state: SimState, external_force, mesh: Mesh,
 
     n = mesh.devices.size
     if (model.nx + 1 + model.pad_planes) % n:
-        raise ValueError(
-            "grid X extent must divide the device mesh: "
-            f"X={model.nx + 1 + model.pad_planes}, devices={n} "
-            "(build with pad_x_multiple=n_devices)"
+        raise ShardError(
+            "grid X extent must divide the device mesh "
+            "(build with pad_x_multiple=n_devices)",
+            [f"X={model.nx + 1 + model.pad_planes}", f"devices={n}"],
         )
     vec = NamedSharding(mesh, P(None, axis_name))  # (3, X, Y, Z) X-slabs
     grid = NamedSharding(mesh, P(axis_name))  # (X, Y, Z)
@@ -146,10 +148,15 @@ def shard_simulation(
         or model.padded_hex_count % n
         or model.padded_node_count % n
     ):
-        raise ValueError(
-            "padded counts must divide the device-mesh size: "
-            f"tets={model.padded_tet_count}, hexes={model.padded_hex_count}, "
-            f"nodes={model.padded_node_count}, devices={n}"
+        raise ShardError(
+            "padded counts must divide the device-mesh size "
+            "(pack with pad_nodes/pad_elems = 8 * n_devices)",
+            [
+                f"tets={model.padded_tet_count}",
+                f"hexes={model.padded_hex_count}",
+                f"nodes={model.padded_node_count}",
+                f"devices={n}",
+            ],
         )
     m_shard = model_shardings(model, mesh, axis_name)
     s_shard = state_shardings(mesh, axis_name)

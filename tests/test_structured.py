@@ -235,3 +235,47 @@ def test_pallas_interior_stencil_matches_xla(both_models, rng):
     ref = np.asarray(_apply_taps(xs, interior))
     out = np.asarray(interior_stencil_pallas(xs, interior, interpret=True))
     np.testing.assert_allclose(out, ref, atol=1e-5 * (np.abs(ref).max() + 1e-30))
+
+
+def test_face_correction_planes_match_bruteforce(both_models, rng):
+    """Each face correction buffer must equal the brute-force restricted
+    ghost sum it encodes (guards the masked-dense edge/corner folding)."""
+    from civiwave_tpu.ops import structured as ops_mod
+
+    _, structured, *_ = both_models
+    x = jnp.asarray(
+        rng.standard_normal(structured.vector_shape).astype(np.float32)
+    )
+    tables = ops_mod._stencil_tables(
+        structured.spacing, structured.lam0, structured.mu0
+    )
+    _, faces, edges, corners = tables
+    hi = (structured.nx, structured.ny, structured.nz)
+    for (axis, side) in faces:
+        sl, corr = ops_mod._face_correction(structured, x, axis, side, tables)
+        # brute force: face term - assigned edges + assigned corners via
+        # direct small-slice evaluation
+        plane = x[sl]
+        ref = np.array(ops_mod._apply_taps(plane, faces[(axis, side)]))
+        rem = [a for a in range(3) if a != axis]
+        for (a1, s1, a2, s2), etaps in edges.items():
+            if a1 != axis or s1 != side:
+                continue
+            line_sl = [slice(None)] * 3
+            line_sl[1 + rem.index(a2)] = 0 if s2 == 0 else hi[a2]
+            line_sl = tuple(line_sl)
+            ref[line_sl] -= np.asarray(
+                ops_mod._apply_taps(plane[line_sl], etaps)
+            )
+        if axis == 0:
+            for (sx, sy, sz), ctaps in corners.items():
+                if sx != side:
+                    continue
+                pt = (
+                    slice(None),
+                    0 if sy == 0 else hi[1],
+                    0 if sz == 0 else hi[2],
+                )
+                ref[pt] += np.asarray(ops_mod._apply_taps(plane[pt], ctaps))
+        scale = np.abs(ref).max() + 1e-30
+        np.testing.assert_allclose(np.asarray(corr), ref, atol=1e-5 * scale)
