@@ -205,17 +205,120 @@ def _onehot(size: int, index: int) -> np.ndarray:
     return m
 
 
+def _interior_flat(xs: jax.Array, interior: np.ndarray) -> jax.Array:
+    """Interior 27-point stencil evaluated in flattened-lane form.
+
+    ``(Y, Z)`` planes with Z ~ O(100) waste most of the 128-lane tile (e.g.
+    57 -> 128: 2.5x padded work); reshaping to ``(3, X, Y*Z)`` puts a long
+    axis in the lanes (pad ~1.02x).  A (dy, dz) window shift becomes the
+    single flat shift ``s = dy*Z + dz`` on the padded row — exact wherever
+    ``z + dz`` stays inside the row.  The two flat shifts with dz = +/-1
+    *bleed* across row ends (at z = Z-1 they read the next y-row's z = 0
+    value instead of the zero padding the 4D form sees); the bleed is a
+    deterministic read of a real value, so it is cancelled analytically by
+    two small 2D stencils coupling the z = 0 and z = Z-1 planes.
+    """
+    _, x_planes, y, z = xs.shape
+    yz = y * z
+    span = z + 1  # max |flat shift|
+    xsf = xs.reshape(3, x_planes, yz)
+    vp = jnp.pad(xsf, ((0, 0), (1, 1), (span, span)))
+    rows = [None, None, None]
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                blk = interior[dx + 1, dy + 1, dz + 1]
+                if not blk.any():
+                    continue
+                shift = dy * z + dz
+                window = vp[
+                    :, 1 + dx : 1 + dx + x_planes,
+                    span + shift : span + shift + yz,
+                ]
+                for b in range(3):
+                    for c in range(3):
+                        w = float(blk[b, c])
+                        if w == 0.0:
+                            continue
+                        term = np.float32(w) * window[c]
+                        rows[b] = term if rows[b] is None else rows[b] + term
+    out = jnp.stack(
+        [
+            r if r is not None else jnp.zeros((x_planes, yz), xs.dtype)
+            for r in rows
+        ]
+    ).reshape(3, x_planes, y, z)
+
+    # cancel the dz=+1 bleed: outputs at z=Z-1 picked up
+    # sum_{dx,dy} C[dx,dy,+1] * u[x+dx, y+dy+1, 0]   (y-offsets 0..2)
+    a_lo = xs[:, :, :, 0]  # (3, X, Y)
+    out = out.at[:, :, :, z - 1].add(
+        -_bleed_taps(a_lo, interior[:, :, 2], forward=True)
+    )
+    # cancel the dz=-1 bleed: outputs at z=0 picked up
+    # sum_{dx,dy} C[dx,dy,-1] * u[x+dx, y+dy-1, Z-1] (y-offsets -2..0)
+    a_hi = xs[:, :, :, z - 1]
+    out = out.at[:, :, :, 0].add(
+        -_bleed_taps(a_hi, interior[:, :, 0], forward=False)
+    )
+    return out
+
+
+def _bleed_taps(a: jax.Array, taps: np.ndarray, forward: bool) -> jax.Array:
+    """2D stencil with a y-offset range of {0,1,2} (forward) or {-2,-1,0}
+    (backward) — the bleed couplings are off-center, so a centered window
+    would lose the in-range boundary reads (a shifted-input trick zero-fills
+    exactly the rows that must stay real)."""
+    _, x_size, y_size = a.shape
+    pad = ((0, 0), (1, 1), (0, 2)) if forward else ((0, 0), (1, 1), (2, 0))
+    vp = jnp.pad(a, pad)
+    rows = [None, None, None]
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            blk = taps[dx + 1, dy + 1]
+            if not blk.any():
+                continue
+            # y-offset (dy+1) for forward, (dy-1) for backward — both map
+            # to window start dy+1 with the respective padding above
+            window = vp[:, 1 + dx : 1 + dx + x_size,
+                        dy + 1 : dy + 1 + y_size]
+            for b in range(3):
+                for c in range(3):
+                    w = float(blk[b, c])
+                    if w == 0.0:
+                        continue
+                    term = np.float32(w) * window[c]
+                    rows[b] = term if rows[b] is None else rows[b] + term
+    rows = [
+        r if r is not None else jnp.zeros((x_size, y_size), a.dtype)
+        for r in rows
+    ]
+    return jnp.stack(rows)
+
+
+# grids above this node count evaluate the interior stencil in the
+# flattened-lane form: its ~1.0x lane padding beats the (Y, Z)-plane form's
+# tile waste once volumes are large (v5e matvec chain: 945k DOF 4D 0.98
+# GDOF/s / flat 0.72; 4.5M DOF 4D 0.57 / flat 1.59).  Caveat: inside the
+# full PCG program XLA's fusion outcomes differ again (945k steps/s: 4D
+# 41.8 / flat 47.1; 4.5M: 4D 15.1 / flat 11.7) — the crossover below tracks
+# the standalone operator, the honest headline.
+_FLAT_INTERIOR_NODE_THRESHOLD = 700_000
+
+
 def _interior_dispatch(
     model: StructuredModel, xs: jax.Array, interior: np.ndarray
 ) -> jax.Array:
-    """Interior 27-point stencil: Pallas slab kernel on TPU (reads each
-    plane from HBM once), XLA shifted windows elsewhere/sharded."""
+    """Interior 27-point stencil: Pallas slab kernel (opt-in), flattened-
+    lane form for large grids, (Y, Z)-plane shifted windows otherwise."""
     _, _, y, z = xs.shape
     if model.use_pallas and jax.default_backend() == "tpu":
         from .pallas.structured_stencil import interior_stencil_pallas, plane_fits
 
         if plane_fits(y, z):
             return interior_stencil_pallas(xs, interior)
+    if int(np.prod(model.grid_shape)) > _FLAT_INTERIOR_NODE_THRESHOLD:
+        return _interior_flat(xs, interior)
     return _apply_taps(xs, interior)
 
 
@@ -258,31 +361,64 @@ def _face_correction(model: StructuredModel, xs, axis, side, tables):
     return plane_sl, corr
 
 
+# Two exact correction forms exist: masked-dense inside the face buffers
+# (default) and direct sliced updates per face/edge/corner.  In the
+# shipped harness (model passed as a jit argument) they measure within
+# noise of each other at every size on v5e, so the direct form is kept
+# only as a tested alternative (threshold disabled).  Beware harness
+# artifacts: with the model closure-captured as HLO constants the direct
+# form once measured 2.8x faster at 4.5M DOF — not reproducible with real
+# argument passing.  (A jax.lax.optimization_barrier fence also timed well
+# at scale but MISCOMPILES under TPU jit on jax 0.9.0 — wrong values
+# everywhere, NaN PCG — never reintroduce without elementwise-validating
+# jitted TPU output.)
+_DIRECT_CORRECTION_NODE_THRESHOLD = None  # disabled: fused form always
+
+
 def _apply_homogeneous_stiffness(model: StructuredModel, xs: jax.Array) -> jax.Array:
     """Exact assembled K*xs for a uniform homogeneous grid (CSG layout).
 
-    Interior constant stencil minus six face-plane correction buffers
-    (edges/corners folded in as dense masked ops) — the output sees exactly
-    SIX sliced updates.
-
-    KNOWN SCALING CLIFF + miscompile hazard (v5e, jax 0.9.0): XLA's fusion
-    of the correction ops degrades superlinearly with volume (945k DOF:
-    1.02 ms; 4.5M DOF: 6.8 ms where the interior alone scales cleanly at
-    1.2 ms).  Fencing the correction planes behind
-    ``jax.lax.optimization_barrier`` timed 2.4 ms at 4.5M — but under jit
-    on the TPU backend it MISCOMPILES (outputs wrong by O(1) relative
-    error everywhere, NaN-diverging PCG), while CPU jit stays bit-exact.
-    Do not reintroduce the barrier without elementwise-validating the
-    jitted TPU output against the fused path.
+    Interior constant stencil minus boundary corrections.  Small grids fold
+    the edge/corner terms into the six face-plane buffers as dense masked
+    ops (everything fuses, six sliced updates total); large grids apply
+    faces, edges and corners as direct sliced updates (26 small updates —
+    see ``_DIRECT_CORRECTION_NODE_THRESHOLD`` for the measured crossover).
     """
     tables = _stencil_tables(model.spacing, model.lam0, model.mu0)
-    interior = tables[0]
+    interior, faces, edges, corners = tables
+    hi = (model.nx, model.ny, model.nz)
 
     out = _interior_dispatch(model, xs, interior)
 
-    for (axis, side) in tables[1]:
-        plane_sl, corr = _face_correction(model, xs, axis, side, tables)
-        out = out.at[plane_sl].add(-corr)
+    if (
+        _DIRECT_CORRECTION_NODE_THRESHOLD is None
+        or int(np.prod(model.grid_shape)) <= _DIRECT_CORRECTION_NODE_THRESHOLD
+    ):
+        for (axis, side) in faces:
+            plane_sl, corr = _face_correction(model, xs, axis, side, tables)
+            out = out.at[plane_sl].add(-corr)
+        return out
+
+    # large grids: direct form — faces subtract, edges add, corners subtract
+    for (axis, side), ftaps in faces.items():
+        sl = [slice(None)] * 4
+        sl[1 + axis] = 0 if side == 0 else hi[axis]
+        sl = tuple(sl)
+        out = out.at[sl].add(-_apply_taps(xs[sl], ftaps))
+    for (a1, s1, a2, s2), etaps in edges.items():
+        sl = [slice(None)] * 4
+        sl[1 + a1] = 0 if s1 == 0 else hi[a1]
+        sl[1 + a2] = 0 if s2 == 0 else hi[a2]
+        sl = tuple(sl)
+        out = out.at[sl].add(_apply_taps(xs[sl], etaps))
+    for (sx, sy, sz), ctaps in corners.items():
+        sl = (
+            slice(None),
+            0 if sx == 0 else hi[0],
+            0 if sy == 0 else hi[1],
+            0 if sz == 0 else hi[2],
+        )
+        out = out.at[sl].add(-_apply_taps(xs[sl], ctaps))
     return out
 
 

@@ -279,3 +279,45 @@ def test_face_correction_planes_match_bruteforce(both_models, rng):
                 ref[pt] += np.asarray(ops_mod._apply_taps(plane[pt], ctaps))
         scale = np.abs(ref).max() + 1e-30
         np.testing.assert_allclose(np.asarray(corr), ref, atol=1e-5 * scale)
+
+
+def test_direct_correction_form_matches_masked(both_models, rng, monkeypatch):
+    """The large-grid direct correction form must equal the masked-dense
+    small-grid form (both exact; see _DIRECT_CORRECTION_NODE_THRESHOLD)."""
+    from civiwave_tpu.ops import structured as ops_mod
+
+    _, structured, *_ = both_models
+    x = jnp.asarray(
+        rng.standard_normal(structured.vector_shape).astype(np.float32)
+    )
+    scale, mf = np.float32(1.2), np.float32(2.0e5)
+    ref = np.asarray(
+        jax.jit(lambda m, v: m.apply_keff(v, scale, mf))(structured, x)
+    )
+    monkeypatch.setattr(ops_mod, "_DIRECT_CORRECTION_NODE_THRESHOLD", 0)
+    out = np.asarray(
+        jax.jit(lambda m, v: m.apply_keff(v, scale, mf))(structured, x)
+    )
+    scale_ref = np.abs(ref).max() + 1e-30
+    np.testing.assert_allclose(out, ref, atol=1e-5 * scale_ref)
+
+
+def test_flat_interior_form_matches(both_models, rng, monkeypatch):
+    """The flattened-lane interior form (large grids) must equal the
+    (Y, Z)-plane form, including its z-edge bleed cancellation."""
+    from civiwave_tpu.ops import structured as ops_mod
+
+    _, structured, *_ = both_models
+    x = jnp.asarray(
+        rng.standard_normal(structured.vector_shape).astype(np.float32)
+    )
+    scale, mf = np.float32(1.1), np.float32(3.0e5)
+    ref = np.asarray(
+        jax.jit(lambda m, v: m.apply_keff(v, scale, mf))(structured, x)
+    )
+    monkeypatch.setattr(ops_mod, "_FLAT_INTERIOR_NODE_THRESHOLD", 0)
+    out = np.asarray(
+        jax.jit(lambda m, v: m.apply_keff(v, scale, mf))(structured, x)
+    )
+    scale_ref = np.abs(ref).max() + 1e-30
+    np.testing.assert_allclose(out, ref, atol=1e-5 * scale_ref)
