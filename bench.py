@@ -5,7 +5,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The metric is the BASELINE.json headline — element-by-element effective-
 stiffness matvec (apply_keff) throughput on a hex8 cantilever, measured as
 DOFs processed per second across repeated matvecs chained inside one jitted
-fori_loop (no per-iteration host dispatch).
+fori_loop (no per-iteration host dispatch).  Default mesh: 255^3 cells =
+50.3M DOF — the north-star scale demonstration (BASELINE.md targets a
+50M-DOF basin on v5p-32; the flattened-lane stencil runs it on ONE v5e) —
+where per-chip throughput peaks (v5e: 0.97 GDOF/s at 945k DOF, 1.58 at
+4.5M, 2.48 at 50M).
 
 vs_baseline: the reference publishes no measured numbers (BASELINE.md); its
 spec targets 10-30 Hz interactive stepping at 50k-150k DOFs with a 120-
@@ -90,7 +94,7 @@ def main() -> None:
     from civiwave_tpu.physics import materials
     from civiwave_tpu.utils.synthetic import box_mesh, cantilever_config
 
-    size = os.environ.get("CIVIWAVE_BENCH_SIZE", "96,56,56")
+    size = os.environ.get("CIVIWAVE_BENCH_SIZE", "255,255,255")
     nx, ny, nz = (int(s) for s in size.split(","))
 
     cfg = cantilever_config()
@@ -108,9 +112,11 @@ def main() -> None:
     )
     gdofs_structured = _bench_matvec(structured, dof, "structured")
 
-    # general unstructured path on the same box (skippable for speed)
+    # general unstructured path on the same box (on by default only at
+    # sizes where its pack + gathers stay tractable)
     gdofs_general = None
-    if os.environ.get("CIVIWAVE_BENCH_GENERAL", "1") == "1":
+    general_default = "1" if dof <= 2_000_000 else "0"
+    if os.environ.get("CIVIWAVE_BENCH_GENERAL", general_default) == "1":
         t0 = time.perf_counter()
         mesh = box_mesh(nx, ny, nz, hex_elements=True)
         pre = preprocess.run(mesh, cfg)
