@@ -86,13 +86,12 @@ class StructuredModel:
     homogeneous: bool = field(metadata=dict(static=True), default=True)
     lam0: float = field(metadata=dict(static=True), default=0.0)
     mu0: float = field(metadata=dict(static=True), default=0.0)
-    # Pallas slab kernel for the interior stencil (TPU, unsharded only).
-    # Default OFF: measured 0.95 ms vs 0.80 ms for the fused XLA stencil at
-    # 945k DOF on v5e — the op is VPU-bound either way and the layout
-    # shuffling around pallas_call costs more than the HBM it saves (see
-    # ops/pallas/structured_stencil.py).  Kept as an opt-in and for the
-    # bit-exactness test.
-    use_pallas: bool = field(metadata=dict(static=True), default=False)
+    # Pallas slab kernel for the interior stencil: used on TPU for LARGE
+    # unsharded grids, where VMEM-resident planes beat the XLA windows 2x
+    # (50M DOF: 7.9 ms vs 15.5).  Small grids stay on the fused XLA stencil
+    # (the kernel is per-op-overhead-bound on tiny planes); shard_structured
+    # turns this off — a pallas_call does not partition under GSPMD.
+    use_pallas: bool = field(metadata=dict(static=True), default=True)
 
     @property
     def grid_shape(self) -> Tuple[int, int, int]:

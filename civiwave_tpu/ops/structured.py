@@ -309,29 +309,45 @@ _FLAT_INTERIOR_NODE_THRESHOLD = 700_000
 def _interior_dispatch(
     model: StructuredModel, xs: jax.Array, interior: np.ndarray
 ) -> jax.Array:
-    """Interior 27-point stencil: Pallas slab kernel (opt-in), flattened-
-    lane form for large grids, (Y, Z)-plane shifted windows otherwise."""
+    """Interior 27-point stencil, chosen by grid size (all forms pinned
+    equal by tests; numbers are v5e matvec-chain measurements):
+
+    * large grids (> _FLAT_INTERIOR_NODE_THRESHOLD nodes) on TPU: the
+      Pallas slab kernel — planes live in VMEM, HBM sees each plane O(1)
+      times (4.5M DOF: 2.44 ms vs 2.88 flat; 50M: 7.9 ms vs 15.5 — 2x);
+    * large grids elsewhere (CPU, GSPMD-sharded): flattened-lane XLA form;
+    * small grids: (Y, Z)-plane shifted windows (the Pallas kernel is
+      per-op-overhead-bound on tiny planes: 0.95 ms vs 0.84 at 945k DOF).
+    """
     _, _, y, z = xs.shape
-    if model.use_pallas and jax.default_backend() == "tpu":
+    large = int(np.prod(model.grid_shape)) > _FLAT_INTERIOR_NODE_THRESHOLD
+    if large and model.use_pallas and jax.default_backend() == "tpu":
         from .pallas.structured_stencil import interior_stencil_pallas, plane_fits
 
         if plane_fits(y, z):
             return interior_stencil_pallas(xs, interior)
-    if int(np.prod(model.grid_shape)) > _FLAT_INTERIOR_NODE_THRESHOLD:
+    if large:
         return _interior_flat(xs, interior)
     return _apply_taps(xs, interior)
 
 
-def _face_correction(model: StructuredModel, xs, axis, side, tables):
+def _face_correction(model: StructuredModel, xs, axis, side, tables,
+                     sanitize: bool = False):
     """Correction plane for one face, with its assigned edge/corner terms
     folded in as dense masked ops (one-hot row/point masks — per-slice
-    ``.at[].add`` on either the output or the small plane broke fusion)."""
+    ``.at[].add`` on either the output or the small plane broke fusion).
+
+    ``sanitize=True`` takes RAW x and zeroes constrained components on the
+    extracted plane only (the fused-pallas path avoids materializing a
+    full sanitized array just for the boundary corrections)."""
     _, faces, edges, corners = tables
     hi = (model.nx, model.ny, model.nz)
     plane_sl = [slice(None)] * 4
     plane_sl[1 + axis] = 0 if side == 0 else hi[axis]
     plane_sl = tuple(plane_sl)
     plane = xs[plane_sl]  # (3, d1, d2)
+    if sanitize:
+        plane = jnp.where(model.bc_mask[plane_sl], 0.0, plane)
     corr = _apply_taps(plane, faces[(axis, side)])
     rem = [a for a in range(3) if a != axis]  # plane's spatial axes
     d1, d2 = plane.shape[1], plane.shape[2]
@@ -481,12 +497,42 @@ def _apply_heterogeneous_stiffness(model: StructuredModel, xs: jax.Array) -> jax
     return out
 
 
+def _apply_fused_pallas(model: StructuredModel, x, stiffness_scale, mass_factor):
+    """Large-grid TPU path: ONE pallas_call carries sanitize + interior
+    stencil + mass + identity rows (every XLA envelope pass around a custom
+    call costs ~1.5 ms of HBM at 50M DOF); only the small boundary ghost
+    corrections run outside, sanitized per-plane and masked off constrained
+    rows so the kernel's identity rows survive."""
+    from .pallas.structured_stencil import apply_keff_fused_pallas
+
+    tables = _stencil_tables(model.spacing, model.lam0, model.mu0)
+    ss = jnp.asarray(stiffness_scale, jnp.float32)
+    out = apply_keff_fused_pallas(model, x, ss, mass_factor, tables[0])
+    hi = (model.nx, model.ny, model.nz)
+    for (axis, side) in tables[1]:
+        plane_sl, corr = _face_correction(
+            model, x, axis, side, tables, sanitize=True
+        )
+        free = 1.0 - model.bc_mask[plane_sl].astype(jnp.float32)
+        out = out.at[plane_sl].add(-ss * corr * free)
+    return out
+
+
 def apply_keff_structured(
     model: StructuredModel, x: jax.Array, stiffness_scale, mass_factor
 ) -> jax.Array:
     """K_eff * x in CSG layout; semantics match the general operator exactly
     (sanitize -> stiffness -> scale -> mass term -> identity rows).
     """
+    if model.homogeneous and model.use_pallas and jax.default_backend() == "tpu":
+        from .pallas.structured_stencil import plane_fits
+
+        _, _, y, z = x.shape
+        if (
+            int(np.prod(model.grid_shape)) > _FLAT_INTERIOR_NODE_THRESHOLD
+            and plane_fits(y, z)
+        ):
+            return _apply_fused_pallas(model, x, stiffness_scale, mass_factor)
     xs = jnp.where(model.bc_mask, 0.0, x)
     if model.homogeneous:
         stiff = _apply_homogeneous_stiffness(model, xs)

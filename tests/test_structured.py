@@ -321,3 +321,42 @@ def test_flat_interior_form_matches(both_models, rng, monkeypatch):
     )
     scale_ref = np.abs(ref).max() + 1e-30
     np.testing.assert_allclose(out, ref, atol=1e-5 * scale_ref)
+
+
+def test_fused_pallas_operator_matches(both_models, rng, monkeypatch):
+    """The fully-fused pallas K_eff (interpret mode on CPU) must equal the
+    XLA operator, including identity rows and boundary corrections."""
+    import civiwave_tpu.ops.pallas.structured_stencil as psten
+    from civiwave_tpu.ops import structured as ops_mod
+
+    _, structured, *_ = both_models
+    x = jnp.asarray(
+        rng.standard_normal(structured.vector_shape).astype(np.float32)
+    )
+    scale, mf = np.float32(1.3), np.float32(2.5e5)
+    ref = np.asarray(
+        jax.jit(lambda m, v: m.apply_keff(v, scale, mf))(structured, x)
+    )
+    out = np.asarray(
+        ops_mod._apply_fused_pallas.__wrapped__(structured, x, scale, mf)
+        if hasattr(ops_mod._apply_fused_pallas, "__wrapped__")
+        else _fused_interpret(ops_mod, psten, structured, x, scale, mf)
+    )
+    scale_ref = np.abs(ref).max() + 1e-30
+    np.testing.assert_allclose(out, ref, atol=1e-5 * scale_ref)
+
+
+def _fused_interpret(ops_mod, psten, model, x, scale, mf):
+    """Run the fused path with the kernel in interpreter mode."""
+    tables = ops_mod._stencil_tables(model.spacing, model.lam0, model.mu0)
+    ss = jnp.asarray(scale, jnp.float32)
+    out = psten.apply_keff_fused_pallas(
+        model, x, ss, mf, tables[0], interpret=True
+    )
+    for (axis, side) in tables[1]:
+        plane_sl, corr = ops_mod._face_correction(
+            model, x, axis, side, tables, sanitize=True
+        )
+        free = 1.0 - model.bc_mask[plane_sl].astype(jnp.float32)
+        out = out.at[plane_sl].add(-ss * corr * free)
+    return out
