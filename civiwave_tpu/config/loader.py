@@ -262,6 +262,17 @@ def parse_config_node(root: Any) -> Config:
         vector_precision=_as_str(precision_node["vectors"], ["precision", "vectors"]),
         reduction_precision=_as_str(precision_node["reductions"], ["precision", "reductions"]),
     )
+    # value validation (config.cpp:339-352): only fp32/fp64 exist
+    if precision.vector_precision not in ("fp32", "fp64"):
+        raise _err(
+            "precision.vectors must be 'fp32' or 'fp64'",
+            ["precision", "vectors", precision.vector_precision],
+        )
+    if precision.reduction_precision not in ("fp32", "fp64"):
+        raise _err(
+            "precision.reductions must be 'fp32' or 'fp64'",
+            ["precision", "reductions", precision.reduction_precision],
+        )
 
     # curves (optional map) ------------------------------------------------------
     curves = {}

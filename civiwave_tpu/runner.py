@@ -145,7 +145,8 @@ def build_simulation(
     model, state, force = pack.build_packed_model(mesh, pre, cfg, mats)
 
     stepper = NewmarkStepper(
-        model, state, force, rayleigh, cfg.solver, cfg.time
+        model, state, force, rayleigh, cfg.solver, cfg.time,
+        reduction_precision=cfg.precision.reduction_precision,
     )
 
     output = None

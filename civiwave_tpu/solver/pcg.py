@@ -46,15 +46,18 @@ class PcgTelemetry(NamedTuple):
     breakdown: jax.Array  # bool — denominator/rho collapse
 
 
-def dot_f64(a: jax.Array, b: jax.Array) -> jax.Array:
-    """FP64 reduction over f32 solver vectors (any layout) — the precision
-    contract.
+def dot_f64(a: jax.Array, b: jax.Array, dtype=jnp.float64) -> jax.Array:
+    """High-precision reduction over f32 solver vectors (any layout) — the
+    precision contract.  ``dtype`` honors the YAML ``precision.reductions``
+    knob (config.hpp:152-156): float64 by default; float32 is the opt-out
+    for hardware where f64 is emulated (v5e), trading the contract for
+    reduction speed.
 
-    Under GSPMD sharding this lowers to a per-shard f64 partial + psum over
+    Under GSPMD sharding this lowers to a per-shard partial + psum over
     the mesh axis, mirroring the reference's workgroup-partials design
     (pcg.cpp:170-207, pcg_dot_partials.slang).
     """
-    return jnp.sum(a.astype(jnp.float64) * b.astype(jnp.float64))
+    return jnp.sum(a.astype(dtype) * b.astype(dtype))
 
 
 def _clamp_dirichlet(model: PackedModel, rhs, x, r):
@@ -86,13 +89,20 @@ def solve_pcg(
     max_iterations,
     x0: jax.Array,
     warm_start: bool = True,
+    reduction_dtype=jnp.float64,
 ):
     """PCG solve; returns (solution (N*, 3) f32, PcgTelemetry).
 
     ``relative_tolerance`` and ``max_iterations`` may be traced scalars so
     pause-mode tolerance switches and adaptive policies never recompile.
+    ``reduction_dtype`` is the dot-product accumulator type (the YAML
+    ``precision.reductions`` knob).
     """
     f32 = jnp.float32
+    rdt = reduction_dtype
+
+    def rdot(a, b):
+        return dot_f64(a, b, rdt)
 
     block_inverse = model.build_preconditioner(stiffness_scale, mass_factor)
 
@@ -102,15 +112,15 @@ def solve_pcg(
     r = (rhs - ax).astype(f32)
     x, r = _clamp_dirichlet(model, rhs, x, r)
 
-    rhs_norm_true = jnp.sqrt(dot_f64(rhs, rhs))
+    rhs_norm_true = jnp.sqrt(rdot(rhs, rhs))
     rhs_norm = jnp.where(rhs_norm_true < _RHS_NORM_FLOOR, 1.0, rhs_norm_true)
     tolerance = relative_tolerance * rhs_norm
 
-    residual_norm = jnp.sqrt(dot_f64(r, r))
+    residual_norm = jnp.sqrt(rdot(r, r))
     converged0 = residual_norm <= tolerance
 
     z = model.apply_preconditioner(block_inverse, r)
-    rho0 = dot_f64(r, z)
+    rho0 = rdot(r, z)
     breakdown0 = jnp.logical_and(
         jnp.logical_not(converged0), jnp.abs(rho0) < _BREAKDOWN_TOL
     )
@@ -128,7 +138,7 @@ def solve_pcg(
 
     def body(carry: _Carry) -> _Carry:
         ap = model.apply_keff(carry.p, stiffness_scale, mass_factor)
-        denom = dot_f64(carry.p, ap)
+        denom = rdot(carry.p, ap)
         breakdown = jnp.abs(denom) < _BREAKDOWN_TOL
         safe_denom = jnp.where(breakdown, 1.0, denom)
         alpha = carry.rho / safe_denom
@@ -137,11 +147,11 @@ def solve_pcg(
         r = (carry.r - (alpha * ap.astype(jnp.float64)).astype(f32)).astype(f32)
         x, r = _clamp_dirichlet(model, rhs, x, r)
 
-        residual_norm = jnp.sqrt(dot_f64(r, r))
+        residual_norm = jnp.sqrt(rdot(r, r))
         converged = residual_norm <= tolerance
 
         z = model.apply_preconditioner(block_inverse, r)
-        rho_new = dot_f64(r, z)
+        rho_new = rdot(r, z)
         beta = rho_new / jnp.where(jnp.abs(carry.rho) < _BREAKDOWN_TOL, 1.0, carry.rho)
         rho_breakdown = jnp.logical_and(
             jnp.logical_not(converged), jnp.abs(carry.rho) < _BREAKDOWN_TOL
@@ -169,8 +179,8 @@ def solve_pcg(
         p=p,
         rho=rho0,
         residual_norm=residual_norm,
-        alpha_last=jnp.asarray(0.0, jnp.float64),
-        beta_last=jnp.asarray(0.0, jnp.float64),
+        alpha_last=jnp.asarray(0.0, rdt),
+        beta_last=jnp.asarray(0.0, rdt),
         iteration=jnp.asarray(0, jnp.int32),
         converged=converged0,
         breakdown=breakdown0,

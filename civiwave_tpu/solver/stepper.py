@@ -87,6 +87,7 @@ def newmark_step(
     newmark_beta: float = 0.25,
     newmark_gamma: float = 0.5,
     warm_start: bool = True,
+    reduction_precision: str = "fp64",
 ) -> _DeviceStepOut:
     """One implicit Newmark frame, fully on device.
 
@@ -152,6 +153,9 @@ def newmark_step(
         max_iterations,
         state.warm_x,
         warm_start=warm_start,
+        reduction_dtype=(
+            jnp.float32 if reduction_precision == "fp32" else jnp.float64
+        ),
     )
 
     # state update (newmark_stepper.cpp:1288-1314) with delta = x - u_pred,
@@ -190,6 +194,7 @@ class NewmarkStepper:
         newmark_beta: float = 0.25,
         newmark_gamma: float = 0.5,
         warm_start: bool = True,
+        reduction_precision: str = "fp64",
     ) -> None:
         self.model = model
         self.state = initial_state
@@ -213,6 +218,7 @@ class NewmarkStepper:
                 newmark_beta=newmark_beta,
                 newmark_gamma=newmark_gamma,
                 warm_start=warm_start,
+                reduction_precision=reduction_precision,
             )
         )
 

@@ -290,3 +290,16 @@ def test_missing_output():
     del cfg["output"]
     with pytest.raises(ConfigError, match="missing output map"):
         parse_config_node(cfg)
+
+
+def test_precision_values_validated(tmp_path):
+    """config.cpp:339-352 — only fp32/fp64 are valid precision values."""
+    import os
+
+    src = os.path.join(os.path.dirname(__file__), "data", "cantilever.yaml")
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(
+        open(src).read().replace("reductions: fp64", "reductions: fp16")
+    )
+    with pytest.raises(ConfigError, match="fp32.*fp64|reductions"):
+        load_config_from_file(str(bad))

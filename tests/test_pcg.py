@@ -208,3 +208,27 @@ def test_solve_pcg_warm_start_reuses_solution():
     sol1, tel1 = solve_pcg(model, rhs, scale, mass_factor, 1e-5, 500, x0, warm_start=False)
     sol2, tel2 = solve_pcg(model, rhs, scale, mass_factor, 1e-5, 500, sol1, warm_start=True)
     assert int(tel2.iterations) <= max(int(tel1.iterations) // 4, 1)
+
+
+def test_fp32_reduction_precision_converges():
+    """The YAML precision.reductions=fp32 knob (config.hpp:152-156): dots
+    reduce in f32; the solve still converges and the telemetry dtype
+    follows the knob."""
+    mesh, cfg = bar_mesh(3, 1, 1, hex_elements=True), bar_config()
+    _, _, ray, coeffs, model, _, force, _, _ = _setup(mesh, cfg)
+    rhs = jnp.where(model.bc_mask, model.bc_value, force)
+    scale, mf = np.float32(1.0), np.float32(coeffs.a0)
+    sol64, tel64 = solve_pcg(
+        model, rhs, scale, mf, 1e-6, 500, jnp.zeros_like(rhs),
+        warm_start=False,
+    )
+    sol32, tel32 = solve_pcg(
+        model, rhs, scale, mf, 1e-6, 500, jnp.zeros_like(rhs),
+        warm_start=False, reduction_dtype=jnp.float32,
+    )
+    assert bool(tel64.converged) and bool(tel32.converged)
+    assert tel32.residual_norm.dtype == jnp.float32
+    ref = np.abs(np.asarray(sol64)).max() + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(sol32), np.asarray(sol64), atol=1e-4 * ref
+    )
