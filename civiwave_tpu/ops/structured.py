@@ -640,18 +640,43 @@ def _invert_spd_3x3_lead(blocks: jax.Array) -> jax.Array:
 def build_block_jacobi_inverse_structured(
     model: StructuredModel, stiffness_scale, mass_factor
 ) -> jax.Array:
-    """(3, 3, X, Y, Z) inverse blocks with identity rows on constrained axes
-    (pcg.cpp:479-503 + 390-400)."""
+    """Symmetric-packed inverse blocks (6, X, Y, Z): [00, 11, 22, 01, 02, 12]
+    (pcg.cpp:479-503).
+
+    The SPD block inverse is symmetric, so 6 components suffice — at 50M DOF
+    the preconditioner read is the largest non-matvec HBM stream of each
+    PCG iteration (9 vs 6 planes: 1.8 vs 1.2 GB).  The reference's identity
+    rows on constrained axes (pcg.cpp:390-400) are observationally redundant
+    here: PCG clamps ``r`` to zero on constrained components before every
+    preconditioner application and the apply zeroes constrained outputs, so
+    neither the constrained rows nor columns of the inverse are reachable.
+    """
     blocks = assemble_node_blocks_structured(model, stiffness_scale, mass_factor)
     inverse = _invert_spd_3x3_lead(blocks)
-    eye = np.eye(3, dtype=np.float32).reshape(3, 3, 1, 1, 1)
-    constrained = model.bc_mask[:, None]  # (3, 1, X, Y, Z) — rows
-    return jnp.where(constrained, eye, inverse)
+    return jnp.stack(
+        [
+            inverse[0, 0],
+            inverse[1, 1],
+            inverse[2, 2],
+            inverse[0, 1],
+            inverse[0, 2],
+            inverse[1, 2],
+        ]
+    )
 
 
 def apply_preconditioner_structured(
     model: StructuredModel, block_inverse: jax.Array, residual: jax.Array
 ) -> jax.Array:
-    """z = M^-1 r with constrained outputs zeroed (pcg.cpp:410-456)."""
-    z = jnp.einsum("ab...,b...->a...", block_inverse, residual)
+    """z = M^-1 r with constrained outputs zeroed (pcg.cpp:410-456);
+    ``block_inverse`` is symmetric-packed (6, X, Y, Z)."""
+    c00, c11, c22, c01, c02, c12 = block_inverse
+    r0, r1, r2 = residual
+    z = jnp.stack(
+        [
+            c00 * r0 + c01 * r1 + c02 * r2,
+            c01 * r0 + c11 * r1 + c12 * r2,
+            c02 * r0 + c12 * r1 + c22 * r2,
+        ]
+    )
     return jnp.where(model.bc_mask, 0.0, z)
