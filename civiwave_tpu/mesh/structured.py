@@ -87,11 +87,19 @@ class StructuredModel:
     lam0: float = field(metadata=dict(static=True), default=0.0)
     mu0: float = field(metadata=dict(static=True), default=0.0)
     # Pallas slab kernel for the interior stencil: used on TPU for LARGE
-    # unsharded grids, where VMEM-resident planes beat the XLA windows 2x
-    # (50M DOF: 7.9 ms vs 15.5).  Small grids stay on the fused XLA stencil
-    # (the kernel is per-op-overhead-bound on tiny planes); shard_structured
-    # turns this off — a pallas_call does not partition under GSPMD.
+    # grids, where VMEM-resident planes beat the XLA windows 2x (50M DOF:
+    # 7.9 ms vs 15.5).  Small grids stay on the fused XLA stencil (the
+    # kernel is per-op-overhead-bound on tiny planes).
     use_pallas: bool = field(metadata=dict(static=True), default=True)
+    # X-slab decomposition over a device mesh: when set, apply_keff runs
+    # the explicit shard_map + ppermute halo-exchange operator (the fused
+    # Pallas kernel per shard — a pallas_call cannot partition under plain
+    # GSPMD).  Set by parallel.sharding.shard_structured.
+    shard_mesh: Optional[object] = field(metadata=dict(static=True), default=None)
+    shard_axis: str = field(metadata=dict(static=True), default="shard")
+    # force the Pallas kernels through the interpreter (CPU tests exercise
+    # the exact sharded-kernel code path without TPU hardware)
+    pallas_interpret: bool = field(metadata=dict(static=True), default=False)
 
     @property
     def grid_shape(self) -> Tuple[int, int, int]:

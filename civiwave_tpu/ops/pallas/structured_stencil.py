@@ -233,14 +233,31 @@ def apply_keff_fused_pallas(
     """Fused interior K_eff (sanitize + stencil + mass + identity rows) as
     one pallas_call over X planes.  Boundary ghost corrections are NOT
     included — the caller subtracts them (masked off constrained rows)."""
-    _, x_planes, y, z = x.shape
-    kernel = _make_fused_kernel(np.asarray(interior_taps, np.float64), y, z)
     x_pad = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
     # int8 constraint planes: 4x less HBM than f32, bool is not a TPU type
     bc_pad = jnp.pad(
         model.bc_mask.astype(jnp.int8), ((0, 0), (1, 1), (0, 0), (0, 0)),
         constant_values=1,  # out-of-range planes read as constrained => 0
     )
+    return apply_keff_fused_pallas_padded(
+        x_pad, bc_pad, model.mass_grid, stiffness_scale, mass_factor,
+        interior_taps, interpret=interpret,
+    )
+
+
+def apply_keff_fused_pallas_padded(
+    x_pad: jax.Array, bc_pad: jax.Array, mass_grid: jax.Array,
+    stiffness_scale, mass_factor, interior_taps: np.ndarray,
+    *, interpret: bool = False
+) -> jax.Array:
+    """Core fused call on inputs that already carry one X halo plane per
+    side — either zero/constrained padding (single chip) or real neighbor
+    ghost planes exchanged by ``ppermute`` (one shard of an X-slab
+    decomposition).  ``x_pad``/``bc_pad`` are (3, X+2, Y, Z); ``mass_grid``
+    is the local (X, Y, Z); output is (3, X, Y, Z)."""
+    _, x_total, y, z = x_pad.shape
+    x_planes = x_total - 2
+    kernel = _make_fused_kernel(np.asarray(interior_taps, np.float64), y, z)
     vec_spec = lambda offset, dtype=jnp.float32: pl.BlockSpec(  # noqa: E731
         (3, 1, y, z),
         lambda i, o=offset: (i * 0, i + o, i * 0, i * 0),
@@ -267,9 +284,9 @@ def apply_keff_fused_pallas(
             lambda i: (i * 0, i, i * 0, i * 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, x_planes, y, z), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=3 * x.size * 4, transcendentals=0
+            flops=flops, bytes_accessed=3 * x_pad.size * 4, transcendentals=0
         ),
         interpret=interpret,
-    )(ss, mf, x_pad, x_pad, x_pad, bc_pad, bc_pad, bc_pad, model.mass_grid)
+    )(ss, mf, x_pad, x_pad, x_pad, bc_pad, bc_pad, bc_pad, mass_grid)

@@ -131,12 +131,24 @@ def _stencil_tables(spacing, lam0: float, mu0: float):
 # --------------------------------------------------------------------------
 
 
-def _apply_taps(v: jax.Array, taps: np.ndarray) -> jax.Array:
+def _apply_taps(
+    v: jax.Array, taps: np.ndarray, prepad_axis: int | None = None
+) -> jax.Array:
     """Apply a constant block stencil to ``v`` (3, *spatial) with zero-padded
-    boundaries; taps has shape (3,)*nd + (3, 3), nd = spatial rank."""
+    boundaries; taps has shape (3,)*nd + (3, 3), nd = spatial rank.
+
+    ``prepad_axis``: spatial axis that already carries one halo entry per
+    side (ghost planes from a neighbor shard) — it is windowed in place
+    instead of zero-padded, and the output is 2 shorter on that axis.
+    """
     nd = v.ndim - 1
-    spatial = v.shape[1:]
-    vp = jnp.pad(v, [(0, 0)] + [(1, 1)] * nd) if nd else v
+    pad = [(0, 0)] + [
+        (0, 0) if a == prepad_axis else (1, 1) for a in range(nd)
+    ]
+    vp = jnp.pad(v, pad) if nd else v
+    spatial = tuple(
+        s - 2 if a == prepad_axis else s for a, s in enumerate(v.shape[1:])
+    )
     rows = [None, None, None]
     for idx in np.ndindex(*taps.shape[:nd]):
         blk = taps[idx]
@@ -153,16 +165,19 @@ def _apply_taps(v: jax.Array, taps: np.ndarray) -> jax.Array:
     rows = [
         r if r is not None else jnp.zeros(spatial, v.dtype) for r in rows
     ]
-    return jnp.stack(rows)
+    return jnp.stack(rows)  # spatial shape already accounts for prepad_axis
 
 
-def _apply_taps_axis(plane: jax.Array, taps: np.ndarray, axis_pos: int) -> jax.Array:
+def _apply_taps_axis(
+    plane: jax.Array, taps: np.ndarray, axis_pos: int, prepadded: bool = False
+) -> jax.Array:
     """Apply a 1D block stencil (taps (3, 3, 3)) along one spatial axis of a
-    (3, d1, d2) plane, at every position of the other axis."""
+    (3, d1, d2) plane, at every position of the other axis.  ``prepadded``:
+    the stencil axis already carries one halo entry per side."""
     pad = [(0, 0)] * plane.ndim
-    pad[1 + axis_pos] = (1, 1)
+    pad[1 + axis_pos] = (0, 0) if prepadded else (1, 1)
     vp = jnp.pad(plane, pad)
-    size = plane.shape[1 + axis_pos]
+    size = plane.shape[1 + axis_pos] - (2 if prepadded else 0)
     rows = [None, None, None]
     for t in range(3):
         sl = [slice(None)] * plane.ndim
@@ -175,8 +190,11 @@ def _apply_taps_axis(plane: jax.Array, taps: np.ndarray, axis_pos: int) -> jax.A
                     continue
                 term = np.float32(w) * window[c]
                 rows[b] = term if rows[b] is None else rows[b] + term
+    out_shape = list(plane.shape[1:])
+    if prepadded:
+        out_shape[axis_pos] -= 2
     rows = [
-        r if r is not None else jnp.zeros(plane.shape[1:], plane.dtype)
+        r if r is not None else jnp.zeros(tuple(out_shape), plane.dtype)
         for r in rows
     ]
     return jnp.stack(rows)
@@ -205,7 +223,9 @@ def _onehot(size: int, index: int) -> np.ndarray:
     return m
 
 
-def _interior_flat(xs: jax.Array, interior: np.ndarray) -> jax.Array:
+def _interior_flat(
+    xs: jax.Array, interior: np.ndarray, x_prepadded: bool = False
+) -> jax.Array:
     """Interior 27-point stencil evaluated in flattened-lane form.
 
     ``(Y, Z)`` planes with Z ~ O(100) waste most of the 128-lane tile (e.g.
@@ -218,11 +238,13 @@ def _interior_flat(xs: jax.Array, interior: np.ndarray) -> jax.Array:
     deterministic read of a real value, so it is cancelled analytically by
     two small 2D stencils coupling the z = 0 and z = Z-1 planes.
     """
-    _, x_planes, y, z = xs.shape
+    _, x_total, y, z = xs.shape
+    x_planes = x_total - 2 if x_prepadded else x_total
     yz = y * z
     span = z + 1  # max |flat shift|
-    xsf = xs.reshape(3, x_planes, yz)
-    vp = jnp.pad(xsf, ((0, 0), (1, 1), (span, span)))
+    xsf = xs.reshape(3, x_total, yz)
+    x_pad = (0, 0) if x_prepadded else (1, 1)
+    vp = jnp.pad(xsf, ((0, 0), x_pad, (span, span)))
     rows = [None, None, None]
     for dx in (-1, 0, 1):
         for dy in (-1, 0, 1):
@@ -253,24 +275,33 @@ def _interior_flat(xs: jax.Array, interior: np.ndarray) -> jax.Array:
     # sum_{dx,dy} C[dx,dy,+1] * u[x+dx, y+dy+1, 0]   (y-offsets 0..2)
     a_lo = xs[:, :, :, 0]  # (3, X, Y)
     out = out.at[:, :, :, z - 1].add(
-        -_bleed_taps(a_lo, interior[:, :, 2], forward=True)
+        -_bleed_taps(a_lo, interior[:, :, 2], forward=True,
+                     x_prepadded=x_prepadded)
     )
     # cancel the dz=-1 bleed: outputs at z=0 picked up
     # sum_{dx,dy} C[dx,dy,-1] * u[x+dx, y+dy-1, Z-1] (y-offsets -2..0)
     a_hi = xs[:, :, :, z - 1]
     out = out.at[:, :, :, 0].add(
-        -_bleed_taps(a_hi, interior[:, :, 0], forward=False)
+        -_bleed_taps(a_hi, interior[:, :, 0], forward=False,
+                     x_prepadded=x_prepadded)
     )
     return out
 
 
-def _bleed_taps(a: jax.Array, taps: np.ndarray, forward: bool) -> jax.Array:
+def _bleed_taps(
+    a: jax.Array, taps: np.ndarray, forward: bool, x_prepadded: bool = False
+) -> jax.Array:
     """2D stencil with a y-offset range of {0,1,2} (forward) or {-2,-1,0}
     (backward) — the bleed couplings are off-center, so a centered window
     would lose the in-range boundary reads (a shifted-input trick zero-fills
     exactly the rows that must stay real)."""
     _, x_size, y_size = a.shape
-    pad = ((0, 0), (1, 1), (0, 2)) if forward else ((0, 0), (1, 1), (2, 0))
+    if x_prepadded:
+        x_size -= 2
+    x_pad = (0, 0) if x_prepadded else (1, 1)
+    pad = (((0, 0),) + (x_pad,) + ((0, 2),)) if forward else (
+        ((0, 0),) + (x_pad,) + ((2, 0),)
+    )
     vp = jnp.pad(a, pad)
     rows = [None, None, None]
     for dx in (-1, 0, 1):
@@ -524,6 +555,12 @@ def apply_keff_structured(
     """K_eff * x in CSG layout; semantics match the general operator exactly
     (sanitize -> stiffness -> scale -> mass term -> identity rows).
     """
+    if model.shard_mesh is not None and model.homogeneous:
+        from .structured_sharded import apply_keff_structured_sharded
+
+        return apply_keff_structured_sharded(
+            model, x, stiffness_scale, mass_factor
+        )
     if model.homogeneous and model.use_pallas and jax.default_backend() == "tpu":
         from .pallas.structured_stencil import plane_fits
 

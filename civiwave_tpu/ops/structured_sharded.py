@@ -1,0 +1,228 @@
+"""X-slab halo-exchange structured operator: shard_map + ppermute.
+
+GSPMD can partition the flat XLA stencil (shifted slices become implicit
+halo exchanges) but cannot partition a ``pallas_call`` — round 1 therefore
+disabled the fused slab kernel under sharding and multi-chip ran the slower
+XLA form.  This module runs the FULL fused operator per shard instead:
+
+* the grid is decomposed into contiguous X-slabs over a 1-D device mesh
+  (``shard_structured`` pads X to a device-count multiple with dead planes);
+* inside ``jax.shard_map`` each shard exchanges ONE raw (Y, Z) ghost plane
+  of ``x`` and one int8 constraint plane with each X neighbor via
+  ``jax.lax.ppermute`` (the FEM analogue of ring-neighbor halo exchange;
+  devices at the global ends receive ppermute's zero fill, which is exactly
+  the zero/constrained padding the single-chip operator uses);
+* the ghost-padded local slab runs the SAME fused Pallas slab kernel
+  (``apply_keff_fused_pallas_padded``) or the prepadded XLA stencil forms;
+* boundary corrections are computed shard-locally: Y/Z faces span every
+  slab (their X-direction taps read the ghost planes), while the two X
+  faces are single planes applied only on the owning shard via an
+  ``axis_index`` mask.
+
+Everything outside the operator (dots -> psum over ICI, axpys,
+preconditioner apply) stays GSPMD-partitioned; only the stencil needs
+manual collectives.  Semantics are bit-identical to the single-chip
+operator (pinned by tests on the 8-device CPU mesh, kernel in interpret
+mode).
+
+Reference analogue: the CSR gather ke_gather_node.slang is the op whose
+neighborhood structure forces halo exchange once nodes are partitioned
+(SURVEY.md section 5); the reference itself never distributed.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from .structured import (
+    _FLAT_INTERIOR_NODE_THRESHOLD,
+    _apply_taps,
+    _apply_taps_axis,
+    _interior_flat,
+    _matvec_const,
+    _onehot,
+    _stencil_tables,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from ..mesh.structured import StructuredModel
+
+
+def apply_keff_structured_sharded(
+    model: "StructuredModel", x: jax.Array, stiffness_scale, mass_factor
+) -> jax.Array:
+    """K_eff * x with explicit per-shard halo exchange (homogeneous grids).
+
+    Exact same semantics as the single-chip ``apply_keff_structured``:
+    sanitize -> interior stencil - boundary corrections -> scale -> mass
+    term -> identity rows.
+    """
+    mesh = model.shard_mesh
+    ax = model.shard_axis
+    n = int(mesh.shape[ax])
+    x_total = model.nx + 1 + model.pad_planes
+    assert x_total % n == 0, "X extent must divide the shard mesh"
+    x_local = x_total // n
+    tables = _stencil_tables(model.spacing, model.lam0, model.mu0)
+
+    # kernel choice is per-LOCAL-slab: the Pallas kernel wins on large
+    # planes on real TPUs; tests force it via pallas_interpret on CPU
+    local_nodes = x_local * (model.ny + 1) * (model.nz + 1)
+    use_kernel = model.pallas_interpret or (
+        model.use_pallas
+        and jax.default_backend() == "tpu"
+        and local_nodes > _FLAT_INTERIOR_NODE_THRESHOLD
+    )
+    if use_kernel:
+        from .pallas.structured_stencil import plane_fits
+
+        use_kernel = plane_fits(model.ny + 1, model.nz + 1)
+
+    def local_fn(x_loc, bc_loc, mass_loc, ss, mf):
+        return _local_keff(
+            x_loc, bc_loc, mass_loc, ss, mf,
+            axis_name=ax, n_shards=n, x_local=x_local,
+            nx=model.nx, ny=model.ny, nz=model.nz,
+            tables=tables, use_kernel=use_kernel,
+            interpret=model.pallas_interpret,
+            large=local_nodes > _FLAT_INTERIOR_NODE_THRESHOLD,
+        )
+
+    sharded = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, ax), P(None, ax), P(ax), P(), P()),
+        out_specs=P(None, ax),
+        check_vma=False,
+    )
+    return sharded(
+        x,
+        model.bc_mask,
+        model.mass_grid,
+        jnp.asarray(stiffness_scale, jnp.float32),
+        jnp.asarray(mass_factor, jnp.float32),
+    )
+
+
+def _exchange_ghost_planes(x_loc, bc_i8, axis_name: str, n_shards: int):
+    """One raw x plane + one int8 constraint plane to/from each X neighbor.
+
+    ppermute zero-fills shards that receive nothing, so the global-end
+    ghosts read as (x=0, bc=free) — a zero free plane contributes zero
+    stencil taps, identical to the single-chip zero/constrained padding.
+    """
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+    gx_lo = jax.lax.ppermute(x_loc[:, -1:], axis_name, fwd)
+    gx_hi = jax.lax.ppermute(x_loc[:, :1], axis_name, bwd)
+    gb_lo = jax.lax.ppermute(bc_i8[:, -1:], axis_name, fwd)
+    gb_hi = jax.lax.ppermute(bc_i8[:, :1], axis_name, bwd)
+    x_pad = jnp.concatenate([gx_lo, x_loc, gx_hi], axis=1)
+    bc_pad = jnp.concatenate([gb_lo, bc_i8, gb_hi], axis=1)
+    return x_pad, bc_pad
+
+
+def _local_keff(
+    x_loc, bc_loc, mass_loc, ss, mf, *,
+    axis_name, n_shards, x_local, nx, ny, nz, tables,
+    use_kernel, interpret, large,
+):
+    """Shard-local K_eff on one ghost-padded X-slab."""
+    interior, faces, edges, corners = tables
+    idx = jax.lax.axis_index(axis_name)
+    bc_i8 = bc_loc.astype(jnp.int8)
+    x_pad, bc_pad = _exchange_ghost_planes(x_loc, bc_i8, axis_name, n_shards)
+    xs_pad = jnp.where(bc_pad.astype(bool), 0.0, x_pad)  # sanitized
+
+    if use_kernel:
+        from .pallas.structured_stencil import apply_keff_fused_pallas_padded
+
+        # kernel emits the FINAL value (identity rows included); the
+        # corrections below must therefore be masked off constrained rows
+        out = apply_keff_fused_pallas_padded(
+            x_pad, bc_pad, mass_loc, ss, mf, interior, interpret=interpret
+        )
+        mask_free = True
+    else:
+        if large:
+            inter = _interior_flat(xs_pad, interior, x_prepadded=True)
+        else:
+            inter = _apply_taps(xs_pad, interior, prepad_axis=0)
+        xs_loc = xs_pad[:, 1:-1]
+        out = ss * inter + (mf * mass_loc)[None] * xs_loc
+        mask_free = False
+
+    # --- boundary corrections (all slabs own a strip of the Y/Z faces) ---
+    for axis in (1, 2):
+        hi_pos = ny if axis == 1 else nz
+        for side in (0, 1):
+            pos = 0 if side == 0 else hi_pos
+            if axis == 1:
+                plane = xs_pad[:, :, pos, :]  # (3, Xl+2, Z)
+            else:
+                plane = xs_pad[:, :, :, pos]  # (3, Xl+2, Y)
+            corr = _apply_taps(plane, faces[(axis, side)], prepad_axis=0)
+            # edges assigned to their lower-axis face (only (1,*,2,*) land
+            # on Y faces; Z faces fold nothing) — pinned on Z, free along
+            # the prepadded X
+            if axis == 1:
+                for (a1, s1, a2, s2), etaps in edges.items():
+                    if a1 != axis or s1 != side:
+                        continue
+                    pinned = 0 if s2 == 0 else nz
+                    mask = _onehot(plane.shape[2], pinned)[None, None, :]
+                    corr = corr - mask * _apply_taps_axis(
+                        plane, etaps, 0, prepadded=True
+                    )
+            sl = [slice(None)] * 4
+            sl[1 + axis] = pos
+            sl = tuple(sl)
+            if mask_free:
+                free = 1.0 - bc_loc[sl].astype(jnp.float32)
+                out = out.at[sl].add(-ss * corr * free)
+            else:
+                out = out.at[sl].add(-ss * corr)
+
+    # --- X faces: one global plane each, applied on the owning shard ---
+    for side in (0, 1):
+        gplane = 0 if side == 0 else nx
+        owner = gplane // x_local
+        lp = gplane - owner * x_local
+        plane = xs_pad[:, lp + 1]  # (3, Y, Z); garbage off-owner, masked out
+        corr = _apply_taps(plane, faces[(0, side)])
+        for (a1, s1, a2, s2), etaps in edges.items():
+            if a1 != 0 or s1 != side:
+                continue
+            rem = [1, 2]
+            pos = rem.index(a2)
+            pinned = 0 if s2 == 0 else (ny if a2 == 1 else nz)
+            d1, d2 = plane.shape[1], plane.shape[2]
+            mask = (
+                _onehot(d1, pinned)[None, :, None]
+                if pos == 0
+                else _onehot(d2, pinned)[None, None, :]
+            )
+            corr = corr - mask * _apply_taps_axis(plane, etaps, 1 - pos)
+        for (sx, sy, sz), ctaps in corners.items():
+            if sx != side:
+                continue
+            mask = (
+                _onehot(plane.shape[1], 0 if sy == 0 else ny)[None, :, None]
+                * _onehot(plane.shape[2], 0 if sz == 0 else nz)[None, None, :]
+            )
+            corr = corr + mask * _matvec_const(plane, ctaps)
+        corr = corr * jnp.where(idx == owner, 1.0, 0.0)
+        if mask_free:
+            free = 1.0 - bc_loc[:, lp].astype(jnp.float32)
+            out = out.at[:, lp].add(-ss * corr * free)
+        else:
+            out = out.at[:, lp].add(-ss * corr)
+
+    if not mask_free:
+        out = jnp.where(bc_loc, x_loc, out)
+    return out

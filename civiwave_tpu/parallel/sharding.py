@@ -110,9 +110,12 @@ def shard_structured(model, state: SimState, external_force, mesh: Mesh,
     vec = NamedSharding(mesh, P(None, axis_name))  # (3, X, Y, Z) X-slabs
     grid = NamedSharding(mesh, P(axis_name))  # (X, Y, Z)
     rep = NamedSharding(mesh, P())
-    # the Pallas slab kernel does not partition under GSPMD — sharded
-    # models use the XLA stencil (its shifted slices become halo exchanges)
-    model = dataclasses.replace(model, use_pallas=False)
+    # homogeneous grids run the explicit shard_map + ppermute halo operator
+    # (ops/structured_sharded.py) so the fused Pallas slab kernel executes
+    # per shard; heterogeneous grids stay on the GSPMD corner-gather form
+    model = dataclasses.replace(
+        model, shard_mesh=mesh, shard_axis=axis_name
+    )
     m_shard = dataclasses.replace(
         model,
         lam_grid=rep,

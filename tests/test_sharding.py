@@ -73,13 +73,19 @@ def test_sharded_step_matches_single_device(eight_device_mesh):
     # single device
     out_single = jax.jit(step)(model, state, force)
 
-    # sharded over 8 devices
+    # sharded over 8 devices, with the shardings also pinned as explicit
+    # jit in_shardings (constraint plumbing, not just device_put placement)
     s_model, s_state, s_force = shard_simulation(
         model, state, force, eight_device_mesh
     )
     m_shard = model_shardings(s_model, eight_device_mesh)
     s_shard = state_shardings(eight_device_mesh)
-    out_sharded = jax.jit(step)(s_model, s_state, s_force)
+    f_shard = jax.sharding.NamedSharding(
+        eight_device_mesh, jax.sharding.PartitionSpec("shard")
+    )
+    out_sharded = jax.jit(step, in_shardings=(m_shard, s_shard, f_shard))(
+        s_model, s_state, s_force
+    )
 
     u1 = np.asarray(out_single.state.displacement)
     u8 = np.asarray(out_sharded.state.displacement)
@@ -145,6 +151,89 @@ def test_structured_slab_sharding_matches_single_device(eight_device_mesh):
 
     assert bool(out_sharded.pcg.converged)
     assert len(out_sharded.state.displacement.sharding.device_set) == 8
+    u1 = np.asarray(out_single.state.displacement)
+    u8 = np.asarray(out_sharded.state.displacement)
+    np.testing.assert_allclose(u8, u1, atol=1e-5 * (np.abs(u1).max() + 1e-30))
+
+
+# ---------------------------------------------------------------------------
+# explicit halo exchange (shard_map + ppermute) — the multi-chip perf path
+# ---------------------------------------------------------------------------
+
+
+def _structured_fixture(dims, n_devices):
+    from civiwave_tpu.mesh.structured import build_structured_model
+    from civiwave_tpu.utils.synthetic import cantilever_config
+
+    cfg = cantilever_config()
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    ray = materials.compute_rayleigh(cfg.damping)
+    model, force = build_structured_model(
+        *dims, mats[0], cfg.materials[0].density,
+        traction=(0.0, 0.0, -1.0e6), pad_x_multiple=n_devices,
+    )
+    return model, force, ray
+
+
+@pytest.mark.parametrize("use_kernel", [False, True])
+@pytest.mark.parametrize("dims,n_dev", [((6, 3, 3), 8), ((9, 4, 5), 4)])
+def test_structured_halo_operator_matches_unsharded(
+    eight_device_mesh, use_kernel, dims, n_dev
+):
+    """The shard_map + ppermute operator (XLA local form AND the fused
+    Pallas slab kernel in interpret mode) must equal the single-device
+    operator elementwise.  Includes the one-plane-per-shard case (Xl=1)."""
+    import dataclasses
+
+    from civiwave_tpu.parallel.sharding import make_device_mesh, shard_structured
+
+    model, force, _ = _structured_fixture(dims, n_dev)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((3,) + model.grid_shape), jnp.float32)
+    ss, mf = jnp.float32(1.01), jnp.float32(3.7)
+    ref = jax.jit(lambda m, v: m.apply_keff(v, ss, mf))(model, x)
+
+    mesh = make_device_mesh(n_dev)
+    s_model, _, _ = shard_structured(model, model.zero_state(), force, mesh)
+    if use_kernel:
+        s_model = dataclasses.replace(s_model, pallas_interpret=True)
+    xs = jax.device_put(
+        x, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "shard")
+        )
+    )
+    out = jax.jit(lambda m, v: m.apply_keff(v, ss, mf))(s_model, xs)
+    assert s_model.shard_mesh is not None  # halo path, not GSPMD fallback
+    scale = float(jnp.abs(ref).max()) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5 * scale
+    )
+
+
+def test_structured_sharded_step_with_pallas_kernel(eight_device_mesh):
+    """Full sharded Newmark step with the fused Pallas slab kernel active
+    per shard (interpret mode) matches the single-device step."""
+    import dataclasses
+
+    from civiwave_tpu.parallel.sharding import shard_structured
+
+    model, force, ray = _structured_fixture((6, 3, 3), 8)
+    state = model.zero_state()
+
+    def step(m, s, f):
+        return newmark_step(
+            m, s, f, 0.001, 1.0e-7, 500,
+            rayleigh_alpha=ray.alpha, rayleigh_beta=ray.beta,
+        )
+
+    out_single = jax.jit(step)(model, state, force)
+    s_model, s_state, s_force = shard_structured(
+        model, state, force, eight_device_mesh
+    )
+    s_model = dataclasses.replace(s_model, pallas_interpret=True)
+    out_sharded = jax.jit(step)(s_model, s_state, s_force)
+
+    assert bool(out_sharded.pcg.converged)
     u1 = np.asarray(out_single.state.displacement)
     u8 = np.asarray(out_sharded.state.displacement)
     np.testing.assert_allclose(u8, u1, atol=1e-5 * (np.abs(u1).max() + 1e-30))
