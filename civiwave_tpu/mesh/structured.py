@@ -168,6 +168,55 @@ class StructuredModel:
         )
 
 
+def _box_plane_slice(tag: str, xs: int, axis_extents: Tuple[int, int, int]):
+    """Grid slice for an axis plane tag "x0"/"x1"/"y0"/...; the +X physical
+    boundary is plane xs-1 (NOT the padded end)."""
+    axis = {"x": 0, "y": 1, "z": 2}[tag[0]]
+    if tag[1] == "0":
+        index = 0
+    else:
+        index = (xs - 1) if axis == 0 else axis_extents[axis] - 1
+    sl = [slice(None)] * 3
+    sl[axis] = index
+    return axis, tuple(sl)
+
+
+def _face_share(
+    plane_tag: str,
+    cell_counts: Tuple[int, int, int],
+    spacings: Tuple[float, float, float],
+) -> Tuple[int, np.ndarray]:
+    """Equal nodal shares of face area on an axis plane (each boundary quad
+    contributes area/4 to its 4 corner nodes, loads.cpp:104-149)."""
+    axis = {"x": 0, "y": 1, "z": 2}[plane_tag[0]]
+    face_dims = [d for d in range(3) if d != axis]
+    face_area = spacings[face_dims[0]] * spacings[face_dims[1]]
+    share = np.zeros([cell_counts[d] + 1 for d in face_dims])
+    quad = np.full([cell_counts[d] for d in face_dims], face_area / 4.0)
+    for da in (0, 1):
+        for db in (0, 1):
+            share[
+                da : da + cell_counts[face_dims[0]],
+                db : db + cell_counts[face_dims[1]],
+            ] += quad
+    return axis, share
+
+
+def traction_force_grid(
+    model: StructuredModel, plane_tag: str, value: Tuple[float, float, float]
+) -> np.ndarray:
+    """One traction's nodal force contribution in CSG layout (3, X, Y, Z)."""
+    counts = (model.nx, model.ny, model.nz)
+    _, share = _face_share(plane_tag, counts, model.spacing)
+    grid = np.zeros(model.grid_shape + (3,))
+    _, sl = _box_plane_slice(
+        plane_tag, model.nx + 1,
+        (model.nx + 1, model.ny + 1, model.nz + 1),
+    )
+    grid[sl] = share[..., None] * np.asarray(value, np.float64)
+    return grid.transpose(3, 0, 1, 2).astype(np.float32)
+
+
 def build_structured_model(
     nx: int,
     ny: int,
@@ -182,17 +231,22 @@ def build_structured_model(
     lam_grid: Optional[np.ndarray] = None,
     mu_grid: Optional[np.ndarray] = None,
     pad_x_multiple: int = 1,
+    fixes=None,
 ):
     """Build the structured cantilever-style model + initial force.
 
     ``fixed_axis_planes``/``traction_plane``: "x0"/"x1"/"y0"/... meaning the
-    min/max plane normal to that axis.  Per-element material overrides come
-    via ``lam_grid``/``mu_grid`` (a non-uniform grid selects the general
+    min/max plane normal to that axis.  ``fixes`` generalizes
+    ``fixed_axis_planes`` to the reference's full Dirichlet contract
+    (config.cpp:500-567): a sequence of ``(plane_tag, constrain_axis(3,),
+    values(3,))`` with per-axis constraint flags and optional nonzero
+    targets (None => 0).  Per-element material overrides come via
+    ``lam_grid``/``mu_grid`` (a non-uniform grid selects the general
     corner-gather operator instead of the constant stencil).
     ``pad_x_multiple`` appends dead node planes along +X until (nx+1+pad) is
-    a multiple — use the device-mesh size so GSPMD shards the grid into even
-    X-slabs (halo exchanges of the shifted stencil slices become neighbor
-    collective-permutes over ICI).
+    a multiple — use the device-mesh size so the grid decomposes into even
+    X-slabs (ops/structured_sharded.py exchanges one ghost plane per
+    neighbor per matvec over ICI).
 
     Returns (model, external_force (3, X, Y, Z) f32 jnp array).
     """
@@ -232,41 +286,27 @@ def build_structured_model(
 
     # boundary conditions on axis planes; dead pad planes fully constrained
     bc_grid = np.zeros((xs_pad, ys, zs, 3), dtype=bool)
-
-    def plane_slice(tag):
-        axis = {"x": 0, "y": 1, "z": 2}[tag[0]]
-        # the +X physical boundary is plane xs-1, NOT the padded end
-        if tag[1] == "0":
-            index = 0
-        else:
-            index = (xs - 1) if axis == 0 else -1
-        sl = [slice(None)] * 3
-        sl[axis] = index
-        return tuple(sl)
-
-    for tag in fixed_axis_planes:
-        bc_grid[plane_slice(tag)] = True
+    bc_values = np.zeros((xs_pad, ys, zs, 3), dtype=np.float32)
+    if fixes is None:
+        fixes = [(tag, (True, True, True), (None, None, None))
+                 for tag in fixed_axis_planes]
+    for tag, constrain, values in fixes:
+        _, sl = _box_plane_slice(tag, xs, (xs, ys, zs))
+        for a in range(3):
+            if constrain[a]:
+                bc_grid[sl + (a,)] = True
+                bc_values[sl + (a,)] = (
+                    0.0 if values[a] is None else float(values[a])
+                )
     bc_grid[xs:] = True  # dead padding
+    bc_values[xs:] = 0.0
 
     # external force: gravity + uniform traction on the loaded plane (equal
     # nodal shares of face area, matching loads.cpp:104-149 for quads)
     force_grid = mass_grid[..., None] * np.asarray(gravity, dtype=np.float64)
-    axis = {"x": 0, "y": 1, "z": 2}[traction_plane[0]]
-    face_dims = [d for d in range(3) if d != axis]
-    cell_counts = (nx, ny, nz)
-    spacings = (hx, hy, hz)
-    face_area = spacings[face_dims[0]] * spacings[face_dims[1]]
-    # each face quad contributes area/4 to its 4 corner nodes
-    share = np.zeros([cell_counts[d] + 1 for d in face_dims])
-    quad = np.full([cell_counts[d] for d in face_dims], face_area / 4.0)
-    for da in (0, 1):
-        for db in (0, 1):
-            share[
-                da : da + cell_counts[face_dims[0]],
-                db : db + cell_counts[face_dims[1]],
-            ] += quad
+    _, share = _face_share(traction_plane, (nx, ny, nz), (hx, hy, hz))
     traction_vec = np.asarray(traction, dtype=np.float64)
-    sl = plane_slice(traction_plane)
+    _, sl = _box_plane_slice(traction_plane, xs, (xs, ys, zs))
     force_grid[sl] = force_grid[sl] + share[..., None] * traction_vec
 
     model = StructuredModel(
@@ -274,7 +314,7 @@ def build_structured_model(
         mu_grid=jnp.asarray(mu_grid),
         mass_grid=jnp.asarray(mass_grid.astype(np.float32)),
         bc_mask=jnp.asarray(bc_grid.transpose(3, 0, 1, 2)),
-        bc_value=jnp.zeros((3, xs_pad, ys, zs), jnp.float32),
+        bc_value=jnp.asarray(bc_values.transpose(3, 0, 1, 2)),
         position0=jnp.asarray(position0),
         nx=nx,
         ny=ny,

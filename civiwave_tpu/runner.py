@@ -39,14 +39,41 @@ from .solver.stepper import NewmarkStepper, StepTelemetry
 
 @dataclass
 class Simulation:
-    """A fully-wired scenario ready to step."""
+    """A fully-wired scenario ready to step.
+
+    ``model`` is either the general :class:`~civiwave_tpu.mesh.pack.
+    PackedModel` or the :class:`~civiwave_tpu.mesh.structured.
+    StructuredModel` fast path (both implement the operator protocol);
+    ``mesh``/``preprocess`` are built lazily for the structured path —
+    only output/interactive consumers need the host-side mesh.
+    """
 
     config: Config
-    mesh: Mesh
-    preprocess: preprocess.PreprocessOutputs
-    model: pack.PackedModel
+    mesh: Optional[Mesh]
+    preprocess: Optional[preprocess.PreprocessOutputs]
+    model: object
     stepper: NewmarkStepper
     output: Optional[OutputManager]
+    force_schedule: Optional[object] = None  # StructuredForceSchedule
+    _scenario_path: str = ""
+    _mesh_root: Optional[str] = None
+
+    @property
+    def structured(self) -> bool:
+        """Whether the scenario runs on the structured-grid fast path."""
+        from .mesh.structured import StructuredModel
+
+        return isinstance(self.model, StructuredModel)
+
+    def ensure_host_mesh(self) -> None:
+        """Build mesh + preprocess on demand (structured scenarios skip
+        them unless an output/interactive consumer asks)."""
+        if self.mesh is None:
+            self.mesh = _load_mesh(
+                self.config, self._scenario_path, self._mesh_root
+            )
+        if self.preprocess is None:
+            self.preprocess = preprocess.run(self.mesh, self.config)
 
     def run(
         self,
@@ -66,14 +93,19 @@ class Simulation:
         start_frame = self.stepper.frame_index
         for frame in range(start_frame, start_frame + frames):
             if has_curves and frame > 0:
-                load = loads_mod.assemble_load_vector(
-                    self.mesh, self.config, self.preprocess, t
-                )
-                force = np.zeros(
-                    (self.model.padded_node_count, 3), dtype=np.float32
-                )
-                force[: self.mesh.node_count] = pack.clamp_to_f32(load)
-                self.stepper.set_external_force(force)
+                if self.force_schedule is not None:
+                    self.stepper.set_external_force(
+                        self.force_schedule.at_time(self.config.curves, t)
+                    )
+                else:
+                    load = loads_mod.assemble_load_vector(
+                        self.mesh, self.config, self.preprocess, t
+                    )
+                    force = np.zeros(
+                        (self.model.padded_node_count, 3), dtype=np.float32
+                    )
+                    force[: self.mesh.node_count] = pack.clamp_to_f32(load)
+                    self.stepper.set_external_force(force)
 
             telemetry = self.stepper.step(t, paused_mode=paused_mode)
             telemetries.append(telemetry)
@@ -110,14 +142,10 @@ def _load_mesh(cfg: Config, scenario_path: str, mesh_root: Optional[str]) -> Mes
     ``synthetic://box/nx,ny,nz[,tet|hex][,spacing]``."""
     mesh_path = cfg.mesh_path
     if mesh_path.startswith("synthetic://box/"):
+        from .mesh.structured_config import parse_box_spec
         from .utils.synthetic import box_mesh
 
-        spec = mesh_path[len("synthetic://box/") :].split(",")
-        nx, ny, nz = int(spec[0]), int(spec[1]), int(spec[2])
-        hex_elements = "tet" not in spec[3:]
-        spacing = next(
-            (float(s) for s in spec[3:] if s.replace(".", "", 1).isdigit()), 1.0
-        )
+        nx, ny, nz, hex_elements, spacing = parse_box_spec(mesh_path)
         return box_mesh(nx, ny, nz, hex_elements=hex_elements, spacing=spacing)
 
     if not os.path.isabs(mesh_path):
@@ -136,32 +164,54 @@ def build_simulation(
     output_root: Optional[str] = None,
     mesh_root: Optional[str] = None,
 ) -> Simulation:
-    """Wire the full pipeline from a scenario YAML path."""
+    """Wire the full pipeline from a scenario YAML path.
+
+    ``synthetic://box`` hex scenarios with one material and axis-plane
+    loads/fixes route onto the structured-grid fast path (constant-stencil
+    operator, no gathers — see mesh/structured_config.py); everything else
+    takes the general PackedModel gather path.
+    """
     cfg = load_config_from_file(scenario_path)
-    mesh = _load_mesh(cfg, scenario_path, mesh_root)
-    pre = preprocess.run(mesh, cfg)
     mats = [materials.make_properties(m) for m in cfg.materials]
     rayleigh = materials.compute_rayleigh(cfg.damping)
-    model, state, force = pack.build_packed_model(mesh, pre, cfg, mats)
+
+    from .mesh.structured_config import try_build_structured
+
+    routed = try_build_structured(cfg)
+    schedule = None
+    if routed is not None:
+        model, schedule = routed
+        state = model.zero_state()
+        force = schedule.at_time(cfg.curves, 0.0)
+        mesh = pre = None
+    else:
+        mesh = _load_mesh(cfg, scenario_path, mesh_root)
+        pre = preprocess.run(mesh, cfg)
+        model, state, force = pack.build_packed_model(mesh, pre, cfg, mats)
 
     stepper = NewmarkStepper(
         model, state, force, rayleigh, cfg.solver, cfg.time,
         reduction_precision=cfg.precision.reduction_precision,
     )
 
-    output = None
-    if output_root is not None:
-        _, _, d_all = materials.material_tables(mats)
-        output = OutputManager(output_root, cfg.output, mesh, pre, d_all)
-
-    return Simulation(
+    sim = Simulation(
         config=cfg,
         mesh=mesh,
         preprocess=pre,
         model=model,
         stepper=stepper,
-        output=output,
+        output=None,
+        force_schedule=schedule,
+        _scenario_path=scenario_path,
+        _mesh_root=mesh_root,
     )
+    if output_root is not None:
+        sim.ensure_host_mesh()
+        _, _, d_all = materials.material_tables(mats)
+        sim.output = OutputManager(
+            output_root, cfg.output, sim.mesh, sim.preprocess, d_all
+        )
+    return sim
 
 
 def main(argv: Optional[List[str]] = None) -> int:

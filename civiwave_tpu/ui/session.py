@@ -40,6 +40,12 @@ class InteractiveSession:
 
     def __init__(self, simulation) -> None:
         self._sim = simulation
+        # structured scenarios defer host mesh construction; the session's
+        # derived-field recompute needs it
+        if getattr(simulation, "mesh", None) is None and hasattr(
+            simulation, "ensure_host_mesh"
+        ):
+            simulation.ensure_host_mesh()
         self._stepper = simulation.stepper
         self._model = simulation.model
         # baseline snapshot (capture_baseline_state, viewer.cpp:283-290)

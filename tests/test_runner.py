@@ -87,3 +87,126 @@ def test_cli_main(scenario, tmp_path, data_dir, monkeypatch):
     telemetry = json.load(open(telemetry_path))
     assert len(telemetry) == 3
     assert telemetry[0]["pcg_converged"]
+
+
+# ---------------------------------------------------------------------------
+# YAML -> structured fast-path routing
+# ---------------------------------------------------------------------------
+
+_BOX_YAML = """
+mesh: {path: "synthetic://box/6,3,3"}
+materials:
+  - {name: steel, E: 2.0e11, nu: 0.3, rho: 7800.0}
+assignments:
+  - {group: SOLID, material: steel}
+damping: {xi: 0.02, w1: 10.0, w2: 100.0}
+time: {dt: 0.001, adaptive: false, min_dt: 0.0005, max_dt: 0.002}
+solver:
+  type: pcg
+  preconditioner: block_jacobi
+  tol_runtime: 1.0e-7
+  tol_pause: 1.0e-9
+  max_iters: 500
+precision: {vectors: fp32, reductions: fp64}
+curves:
+  ramp: [[0.0, 0.0], [0.004, 1.0]]
+loads:
+  gravity: [0.0, 0.0, -9.81]
+  tractions:
+    - {group: LOAD_FACE, value: [0.0, 0.0, -1.0e6], scale_curve: ramp}
+dirichlet:
+  fixes:
+    - {group: FIXED, dof: [x, y, z]}
+output: {vtu_stride: 1, probes: []}
+"""
+
+
+def _general_sim(path, monkeypatch):
+    """Same scenario forced onto the general gather path."""
+    import civiwave_tpu.mesh.structured_config as sc
+
+    monkeypatch.setattr(sc, "try_build_structured", lambda cfg, **kw: None)
+    return build_simulation(path)
+
+
+def test_yaml_routes_to_structured_fast_path(tmp_path, monkeypatch):
+    """A synthetic-box hex scenario must run on the StructuredModel fast
+    path and produce the same trajectory as the general gather path —
+    including curve-scaled tractions recombined on device per frame."""
+    path = str(tmp_path / "box.yaml")
+    open(path, "w").write(_BOX_YAML)
+
+    sim = build_simulation(path)
+    assert sim.structured
+    assert sim.mesh is None  # host mesh not built unless output needs it
+    assert sim.force_schedule is not None and sim.force_schedule.has_curves
+    sim.run(3)
+
+    ref = _general_sim(path, monkeypatch)
+    assert not ref.structured
+    ref.run(3)
+
+    u_fast = sim.stepper.displacement()
+    u_ref = ref.stepper.displacement()[: u_fast.shape[0]]
+    scale = np.abs(u_ref).max() + 1e-30
+    np.testing.assert_allclose(u_fast, u_ref, atol=2e-5 * scale)
+
+
+def test_structured_yaml_outputs_and_probes(tmp_path):
+    """Structured scenarios still produce VTU + probe output (host mesh is
+    built lazily when the output manager needs it)."""
+    yaml = _BOX_YAML.replace(
+        "output: {vtu_stride: 1, probes: []}",
+        "output: {vtu_stride: 2, probes: [0, 5]}",
+    )
+    path = str(tmp_path / "box.yaml")
+    open(path, "w").write(yaml)
+    out_root = str(tmp_path / "out")
+    sim = build_simulation(path, output_root=out_root)
+    assert sim.structured and sim.mesh is not None
+    sim.run(3)
+    assert sorted(os.listdir(os.path.join(out_root, "vtu"))) == [
+        "frame_00000.vtu",
+        "frame_00002.vtu",
+    ]
+    lines = open(
+        os.path.join(out_root, "probes", "probes.csv")
+    ).read().strip().splitlines()
+    assert len(lines) == 1 + 3 * 2
+
+
+def test_structured_nonzero_dirichlet_matches_general(tmp_path, monkeypatch):
+    """Per-axis Dirichlet with nonzero targets (config.cpp:500-567) on the
+    structured path: prescribed settlement of the fixed plane must match the
+    general path (exercises bc_value plumbing end to end)."""
+    yaml = _BOX_YAML.replace(
+        "    - {group: FIXED, dof: [x, y, z]}",
+        "    - {group: FIXED, dof: [x, z], value: [0.0, 0.0, -0.001]}",
+    )
+    path = str(tmp_path / "box.yaml")
+    open(path, "w").write(yaml)
+
+    sim = build_simulation(path)
+    assert sim.structured
+    sim.run(2)
+    ref = _general_sim(path, monkeypatch)
+    ref.run(2)
+
+    u_fast = sim.stepper.displacement()
+    u_ref = ref.stepper.displacement()[: u_fast.shape[0]]
+    # the fixed plane (x=0 nodes) must sit at the prescribed target
+    n_plane = 4 * 4  # (ny+1)*(nz+1)
+    np.testing.assert_allclose(u_fast[:n_plane, 2], -0.001, rtol=1e-5)
+    np.testing.assert_allclose(u_fast[:n_plane, 0], 0.0, atol=1e-12)
+    scale = np.abs(u_ref).max() + 1e-30
+    np.testing.assert_allclose(u_fast, u_ref, atol=2e-5 * scale)
+
+
+def test_tet_box_yaml_stays_on_general_path(tmp_path):
+    path = str(tmp_path / "box.yaml")
+    open(path, "w").write(
+        _BOX_YAML.replace("synthetic://box/6,3,3", "synthetic://box/4,2,2,tet")
+    )
+    sim = build_simulation(path)
+    assert not sim.structured
+    assert sim.model.tet_count > 0
