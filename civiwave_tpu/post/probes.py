@@ -90,3 +90,39 @@ class ProbeLogger:
                 f.writelines(rows)
         except OSError:
             raise ProbeError("failed to open probe CSV", [str(self.path)]) from None
+
+    def log_sampled(
+        self,
+        simulation_time: float,
+        frame_index: int,
+        node_count: int,
+        kinematics: np.ndarray,  # (P, 3 kin, 3 comp) u/v/a rows per probe
+        derived_rows,  # list of (strain6, stress6, von_mises) per probe
+    ) -> None:
+        """Append rows from per-probe device samples (no full-field arrays
+        — the O(1) path for large structured grids); identical format to
+        :meth:`log_frame`."""
+        if not self.probes:
+            return
+        if not self._header_written:
+            self._write_header()
+        rows = []
+        for idx, probe in enumerate(self.probes):
+            if probe >= node_count:
+                raise ProbeError("probe index out of range", [str(probe)])
+            u, v, a = kinematics[idx]
+            strain, stress, vm = derived_rows[idx]
+            values = [
+                f"{float(x):.9f}"
+                for x in (*u, *v, *a, *strain, *stress, vm)
+            ]
+            rows.append(
+                f"{frame_index},{simulation_time:.9f},{probe},"
+                + ",".join(values)
+                + "\n"
+            )
+        try:
+            with open(self.path, "a", encoding="ascii") as f:
+                f.writelines(rows)
+        except OSError:
+            raise ProbeError("failed to open probe CSV", [str(self.path)]) from None

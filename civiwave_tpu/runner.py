@@ -112,12 +112,8 @@ class Simulation:
             t = self.stepper.accumulated_time
 
             if self.output is not None:
-                self.output.handle_frame(
-                    telemetry.simulation_time,
-                    frame,
-                    self.stepper.displacement(),
-                    self.stepper.velocity(),
-                    self.stepper.acceleration(),
+                self.output.handle_from_stepper(
+                    telemetry.simulation_time, frame, self.stepper
                 )
             if (
                 checkpoint_manager is not None
@@ -134,6 +130,8 @@ class Simulation:
                     f"res={telemetry.pcg_residual_norm:.3e} "
                     f"conv={telemetry.pcg_converged}"
                 )
+        if self.output is not None:
+            self.output.flush()  # drain the async VTU writer
         return telemetries
 
 
@@ -206,11 +204,20 @@ def build_simulation(
         _mesh_root=mesh_root,
     )
     if output_root is not None:
-        sim.ensure_host_mesh()
-        _, _, d_all = materials.material_tables(mats)
-        sim.output = OutputManager(
-            output_root, cfg.output, sim.mesh, sim.preprocess, d_all
-        )
+        if sim.structured:
+            # device-side derived fields + O(1) probes: no host
+            # mesh/preprocess needed (scales to the 50M-DOF demo)
+            from .post.output import StructuredOutputManager
+
+            sim.output = StructuredOutputManager(
+                output_root, cfg.output, sim.model
+            )
+        else:
+            sim.ensure_host_mesh()
+            _, _, d_all = materials.material_tables(mats)
+            sim.output = OutputManager(
+                output_root, cfg.output, sim.mesh, sim.preprocess, d_all
+            )
     return sim
 
 

@@ -140,6 +140,7 @@ def test_output_manager_stride(tet_setup, tmp_path):
     u = np.zeros((4, 3), np.float32)
     for frame in range(4):
         manager.handle_frame(frame * 0.01, frame, u, u, u)
+    manager.flush()  # VTU writes are asynchronous
     vtu_dir = tmp_path / "vtu"
     assert sorted(os.listdir(vtu_dir)) == ["frame_00000.vtu", "frame_00002.vtu"]
     lines = open(tmp_path / "probes" / "probes.csv").read().strip().splitlines()
@@ -188,3 +189,47 @@ def test_native_vtu_writer_byte_identical(tet_setup, tmp_path, monkeypatch):
     native_bytes = open(p_native, "rb").read()
     python_bytes = open(p_python, "rb").read()
     assert native_bytes == python_bytes
+
+
+def test_structured_device_derived_matches_host():
+    """Device-side derived fields (uniform grid collapse of the row-
+    weighted averages) must equal the host per-quadrature-row path."""
+    import jax.numpy as jnp
+
+    from civiwave_tpu.mesh import preprocess as pre_mod
+    from civiwave_tpu.mesh.structured import build_structured_model
+    from civiwave_tpu.physics import materials as mat_mod
+    from civiwave_tpu.post.structured_fields import (
+        compute_structured_derived,
+        derived_to_host,
+    )
+    from civiwave_tpu.utils.synthetic import box_mesh, cantilever_config
+
+    cfg = cantilever_config()
+    mats = [mat_mod.make_properties(m) for m in cfg.materials]
+    _, _, d_all = mat_mod.material_tables(mats)
+    nx, ny, nz = 5, 3, 4
+    model, _ = build_structured_model(
+        nx, ny, nz, mats[0], cfg.materials[0].density
+    )
+    rng = np.random.default_rng(3)
+    u_rows = rng.standard_normal((model.node_count, 3)).astype(np.float32)
+    u_csg = model.from_nodal(u_rows)
+
+    fast = derived_to_host(
+        model, compute_structured_derived(model, u_csg)
+    )
+    mesh = box_mesh(nx, ny, nz, hex_elements=True)
+    pre = pre_mod.run(mesh, cfg)
+    ref = compute_derived_fields(
+        pre, d_all, u_rows, mesh.node_count, mesh.element_count
+    )
+    for name in (
+        "element_strain", "element_stress", "element_von_mises",
+        "node_strain", "node_stress", "node_von_mises",
+    ):
+        a, b = getattr(fast, name), getattr(ref, name)
+        scale = np.abs(b).max() + 1e-30
+        np.testing.assert_allclose(
+            a, b, atol=5e-6 * scale, err_msg=name
+        )

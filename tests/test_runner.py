@@ -153,8 +153,8 @@ def test_yaml_routes_to_structured_fast_path(tmp_path, monkeypatch):
 
 
 def test_structured_yaml_outputs_and_probes(tmp_path):
-    """Structured scenarios still produce VTU + probe output (host mesh is
-    built lazily when the output manager needs it)."""
+    """Structured scenarios produce VTU + probe output through the
+    device-side derived-field path — no host mesh/preprocess required."""
     yaml = _BOX_YAML.replace(
         "output: {vtu_stride: 1, probes: []}",
         "output: {vtu_stride: 2, probes: [0, 5]}",
@@ -163,7 +163,7 @@ def test_structured_yaml_outputs_and_probes(tmp_path):
     open(path, "w").write(yaml)
     out_root = str(tmp_path / "out")
     sim = build_simulation(path, output_root=out_root)
-    assert sim.structured and sim.mesh is not None
+    assert sim.structured and sim.mesh is None  # fully device-side output
     sim.run(3)
     assert sorted(os.listdir(os.path.join(out_root, "vtu"))) == [
         "frame_00000.vtu",
@@ -210,3 +210,46 @@ def test_tet_box_yaml_stays_on_general_path(tmp_path):
     sim = build_simulation(path)
     assert not sim.structured
     assert sim.model.tet_count > 0
+
+
+def test_structured_output_parity_with_general(tmp_path, monkeypatch):
+    """Probe CSV + VTU derived fields from the device-side structured
+    output path must match the general host path numerically."""
+    yaml = _BOX_YAML.replace(
+        "output: {vtu_stride: 1, probes: []}",
+        "output: {vtu_stride: 2, probes: [3, 41]}",
+    )
+    path = str(tmp_path / "box.yaml")
+    open(path, "w").write(yaml)
+
+    sim = build_simulation(path, output_root=str(tmp_path / "fast"))
+    assert sim.structured
+    sim.run(3)
+    ref = _general_sim_with_output(path, str(tmp_path / "ref"), monkeypatch)
+    ref.run(3)
+
+    fast_rows = np.loadtxt(
+        str(tmp_path / "fast" / "probes" / "probes.csv"),
+        delimiter=",", skiprows=1,
+    )
+    ref_rows = np.loadtxt(
+        str(tmp_path / "ref" / "probes" / "probes.csv"),
+        delimiter=",", skiprows=1,
+    )
+    assert fast_rows.shape == ref_rows.shape
+    scale = np.abs(ref_rows).max(axis=0) + 1e-9
+    np.testing.assert_allclose(
+        fast_rows / scale, ref_rows / scale, atol=2e-5
+    )
+
+    # VTU bytes: identical field structure; compare sizes as a smoke check
+    f_fast = os.path.join(tmp_path, "fast", "vtu", "frame_00002.vtu")
+    f_ref = os.path.join(tmp_path, "ref", "vtu", "frame_00002.vtu")
+    assert os.path.getsize(f_fast) == os.path.getsize(f_ref)
+
+
+def _general_sim_with_output(path, out_root, monkeypatch):
+    import civiwave_tpu.mesh.structured_config as sc
+
+    monkeypatch.setattr(sc, "try_build_structured", lambda cfg, **kw: None)
+    return build_simulation(path, output_root=out_root)
