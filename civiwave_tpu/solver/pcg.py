@@ -50,14 +50,26 @@ def dot_f64(a: jax.Array, b: jax.Array, dtype=jnp.float64) -> jax.Array:
     """High-precision reduction over f32 solver vectors (any layout) — the
     precision contract.  ``dtype`` honors the YAML ``precision.reductions``
     knob (config.hpp:152-156): float64 by default; float32 is the opt-out
-    for hardware where f64 is emulated (v5e), trading the contract for
-    reduction speed.
+    that keeps everything in f32.
 
-    Under GSPMD sharding this lowers to a per-shard partial + psum over
-    the mesh axis, mirroring the reference's workgroup-partials design
-    (pcg.cpp:170-207, pcg_dot_partials.slang).
+    fp64 is implemented CHUNKED, mirroring the reference's design
+    (pcg.cpp:170-207, pcg_dot_partials.slang: f32 products reduced per
+    256-lane workgroup, f64 partials combined at the end): the f32 product
+    is partially reduced along the minor axis (Z = a few hundred entries
+    for CSG grids, 3 for nodal rows), and only the partials accumulate in
+    f64.  Casting whole 50M-DOF vectors to emulated f64 on v5e measured
+    5.5 ms for the three PCG dots; the chunked form measures 1.5 ms with
+    the same trajectories.  The partial reduction runs over the UNSHARDED
+    minor axis, so under GSPMD the f64 combine is a per-shard partial +
+    psum over the mesh axis, exactly the pcg_reduce_final.slang role.
     """
-    return jnp.sum(a.astype(dtype) * b.astype(dtype))
+    if dtype == jnp.float32:
+        return jnp.sum(a.astype(jnp.float32) * b.astype(jnp.float32))
+    prod = a.astype(jnp.float32) * b.astype(jnp.float32)
+    if prod.ndim >= 2:
+        partial = jnp.sum(prod, axis=-1)  # f32 minor-axis chunks
+        return jnp.sum(partial.astype(dtype))
+    return jnp.sum(prod.astype(dtype))
 
 
 def _clamp_dirichlet(model: PackedModel, rhs, x, r):
@@ -143,20 +155,32 @@ def solve_pcg(
         safe_denom = jnp.where(breakdown, 1.0, denom)
         alpha = carry.rho / safe_denom
 
-        x = (carry.x + (alpha * carry.p.astype(jnp.float64)).astype(f32)).astype(f32)
-        r = (carry.r - (alpha * ap.astype(jnp.float64)).astype(f32)).astype(f32)
-        x, r = _clamp_dirichlet(model, rhs, x, r)
+        # f32 axpys with an f32 scalar — exactly the reference's fp32
+        # pcg_axpy.slang (alpha/beta arrive as f32 cbuffer scalars there
+        # too); promoting the 50M-DOF vectors to emulated f64 measured
+        # +1.5 ms/iteration on v5e for identical trajectories.
+        alpha32 = alpha.astype(f32)
+        x = carry.x + alpha32 * carry.p
+        r = carry.r - alpha32 * ap
+        # The reference re-clamps x/r on constrained axes every iteration
+        # (pcg.cpp:860, 903-914).  Here the clamp is an exact no-op by
+        # invariant — p is zeroed on constrained axes each iteration, the
+        # operator's identity rows give ap = p = 0 there, so x stays = rhs
+        # and r stays = 0 bit-for-bit from the pre-loop clamp — and is
+        # elided to save the bc/rhs reads (pinned by the parity tests).
 
+        # precondition BEFORE the norms: r-update, preconditioner apply and
+        # both r-reductions then fuse into adjacent passes over r/z.
+        z = model.apply_preconditioner(block_inverse, r)
         residual_norm = jnp.sqrt(rdot(r, r))
         converged = residual_norm <= tolerance
 
-        z = model.apply_preconditioner(block_inverse, r)
         rho_new = rdot(r, z)
         beta = rho_new / jnp.where(jnp.abs(carry.rho) < _BREAKDOWN_TOL, 1.0, carry.rho)
         rho_breakdown = jnp.logical_and(
             jnp.logical_not(converged), jnp.abs(carry.rho) < _BREAKDOWN_TOL
         )
-        p = (z.astype(jnp.float64) + beta * carry.p.astype(jnp.float64)).astype(f32)
+        p = z + beta.astype(f32) * carry.p
         p = jnp.where(model.bc_mask, 0.0, p)
 
         stop = jnp.logical_or(converged, jnp.logical_or(breakdown, rho_breakdown))
