@@ -22,6 +22,19 @@ core GPU-assembly idea, docs/spec.md:35):
    (ke_gather_node.slang's CSR loop, vectorized to a fixed-degree padded
    table) — measured ~8x faster than segment_sum scatter on TPU v5e.
 
+**Memory at scale (the 5M-DOF lesson).**  TPU tiles pad the minor array
+dimension to 128 lanes, so element tables and temporaries shaped (..., 8)
+or (..., 3, 3) expand 16-42x in HBM — at 1.6M hexes the einsum
+intermediates alone demanded 25 GB on a 16 GB chip.  Two rules keep the
+general path scaling:
+
+* model tables are stored FLAT 1-D (pack.py) — zero padding at rest — and
+  reshaped per chunk;
+* element forces and node assembly evaluate in fixed-size ``lax.map``
+  chunks (gather included), capping every padded temporary at a few
+  hundred MB regardless of mesh size.  Identical math and summation order
+  (chunks pin bit-equal results in tests).
+
 Semantics preserved exactly (pcg.cpp:530-686):
 * input is sanitized — constrained components read as zero;
 * element forces scale by ``volume * stiffness_scale``;
@@ -35,6 +48,12 @@ import jax
 import jax.numpy as jnp
 
 from ..mesh.pack import PackedModel
+
+_HEX_CHUNK = 131072
+_TET_CHUNK = 262144
+_NODE_CHUNK = 131072
+
+
 
 
 def sanitize(model: PackedModel, x: jax.Array) -> jax.Array:
@@ -56,51 +75,119 @@ def _stress(g_tensor: jax.Array, lam: jax.Array, mu: jax.Array) -> jax.Array:
     )
 
 
+def _map_chunks(body, flat_args, count: int, target_chunk: int):
+    """Run ``body`` over power-of-two chunks of equally-indexed flat arrays.
+
+    flat_args: list of (array, items_per_element).  body receives per-chunk
+    arrays of shape (chunk * per,) and must return a flat (chunk * out_per,)
+    array; chunk results are concatenated flat.
+
+    Chunks are unrolled at trace time with STATIC slices, not lax.map: the
+    while-loop form measured ~10 ms of fixed overhead per chunk iteration
+    (945k DOF matvec: 47.6 -> 153 ms with only 10 chunks); unrolled static
+    slices keep straight-line XLA with the same bounded temporaries.  The
+    last chunk may be shorter (shapes stay static — at most two body
+    specializations trace).
+    """
+    if count <= target_chunk:
+        return body(*(a for a, _ in flat_args))
+    outs = []
+    for start in range(0, count, target_chunk):
+        stop = min(start + target_chunk, count)
+        outs.append(
+            body(*(a[start * per : stop * per] for a, per in flat_args))
+        )
+    return jnp.concatenate(outs)
+
+
 def tet_forces(model: PackedModel, x_sanitized: jax.Array, stiffness_scale) -> jax.Array:
-    """(T*, 4, 3) local node forces for the tet block."""
-    u_e = x_sanitized[model.conn_tet]  # (T, 4, 3)
-    grads = model.grads_tet
-    g_tensor = jnp.einsum("tla,tlb->tab", grads, u_e)
-    stress = _stress(g_tensor, model.lam_tet, model.mu_tet)
-    scale = (model.vol_tet * stiffness_scale)[:, None, None]
-    return scale * jnp.einsum("tla,tab->tlb", grads, stress)
+    """(T* * 12,) flat local node forces for the tet block."""
+    t = model.padded_tet_count
+
+    def body(conn_f, grads_f, vol, lam, mu):
+        u_e = x_sanitized[conn_f.reshape(-1, 4)]  # (c, 4, 3)
+        grads = grads_f.reshape(-1, 4, 3)
+        g_tensor = jnp.einsum("tla,tlb->tab", grads, u_e)
+        stress = _stress(g_tensor, lam, mu)
+        scale = (vol * stiffness_scale)[:, None, None]
+        return (scale * jnp.einsum("tla,tab->tlb", grads, stress)).reshape(-1)
+
+    return _map_chunks(
+        body,
+        [
+            (model.conn_tet, 4),
+            (model.grads_tet, 12),
+            (model.vol_tet, 1),
+            (model.lam_tet, 1),
+            (model.mu_tet, 1),
+        ],
+        t,
+        _TET_CHUNK,
+    )
 
 
 def hex_forces(model: PackedModel, x_sanitized: jax.Array, stiffness_scale) -> jax.Array:
-    """(H*, 8, 3) gp-reduced local node forces for the hex block."""
-    u_e = x_sanitized[model.conn_hex]  # (H, 8, 3) — gathered once, all gps
-    grads = model.grads_hex  # (H, 8gp, 8l, 3)
-    g_tensor = jnp.einsum("hgla,hlb->hgab", grads, u_e)
-    stress = _stress(
-        g_tensor, model.lam_hex[:, None], model.mu_hex[:, None]
-    )  # (H, 8gp, 3, 3)
-    weighted = (model.vol_hex * stiffness_scale)[:, :, None, None] * stress
-    # f_l = sum_g V_g grad_gla S_gab — gp reduction fused into the einsum
-    return jnp.einsum("hgla,hgab->hlb", grads, weighted)
+    """(H* * 24,) flat gp-reduced local node forces for the hex block."""
+    h = model.padded_hex_count
+
+    def body(conn_f, grads_f, vol_f, lam, mu):
+        u_e = x_sanitized[conn_f.reshape(-1, 8)]  # (c, 8, 3) — one gather, all gps
+        grads = grads_f.reshape(-1, 8, 8, 3)
+        vol = vol_f.reshape(-1, 8)
+        g_tensor = jnp.einsum("hgla,hlb->hgab", grads, u_e)
+        stress = _stress(g_tensor, lam[:, None], mu[:, None])  # (c, 8gp, 3, 3)
+        weighted = (vol * stiffness_scale)[:, :, None, None] * stress
+        # f_l = sum_g V_g grad_gla S_gab — gp reduction fused into the einsum
+        return jnp.einsum("hgla,hgab->hlb", grads, weighted).reshape(-1)
+
+    return _map_chunks(
+        body,
+        [
+            (model.conn_hex, 8),
+            (model.grads_hex, 192),
+            (model.vol_hex, 8),
+            (model.lam_hex, 1),
+            (model.mu_hex, 1),
+        ],
+        h,
+        _HEX_CHUNK,
+    )
 
 
-def assemble(model: PackedModel, forces_rows: jax.Array) -> jax.Array:
+def assemble(model: PackedModel, rows_flat: jax.Array) -> jax.Array:
     """Per-node gather-sum over the dual CSR (ke_gather_node analogue).
 
-    forces_rows: (R, 3) concatenated tet + hex force rows.
+    rows_flat: (R * 3,) concatenated tet + hex force rows, flat; row r's
+    component c lives at 3r + c.
     """
-    gathered = forces_rows[model.csr_idx]  # (N*, D, 3)
-    return jnp.sum(gathered * model.csr_weight[..., None], axis=1)
+    n = model.padded_node_count
+    d = model.csr_degree
+
+    def body(idx_f, w_f):
+        idx = idx_f.reshape(-1, d)
+        comp = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 3), 2)
+        gathered = rows_flat[idx[:, :, None] * 3 + comp]  # (c, D, 3)
+        w = w_f.reshape(-1, d)
+        return jnp.sum(gathered * w[..., None], axis=1).reshape(-1)
+
+    out = _map_chunks(
+        body,
+        [(model.csr_idx, d), (model.csr_weight, d)],
+        n,
+        _NODE_CHUNK,
+    )
+    return out.reshape(n, 3)
 
 
 def element_force_rows(
     model: PackedModel, x_sanitized: jax.Array, stiffness_scale
 ) -> jax.Array:
-    """(R, 3) concatenated force rows from both element blocks."""
+    """(R * 3,) flat concatenated force rows from both element blocks."""
     parts = []
     if model.padded_tet_count:
-        parts.append(
-            tet_forces(model, x_sanitized, stiffness_scale).reshape(-1, 3)
-        )
+        parts.append(tet_forces(model, x_sanitized, stiffness_scale))
     if model.padded_hex_count:
-        parts.append(
-            hex_forces(model, x_sanitized, stiffness_scale).reshape(-1, 3)
-        )
+        parts.append(hex_forces(model, x_sanitized, stiffness_scale))
     if len(parts) == 1:
         return parts[0]
     return jnp.concatenate(parts, axis=0)

@@ -49,29 +49,78 @@ def _local_blocks(grads: jax.Array, vol_scale: jax.Array, lam: jax.Array, mu: ja
 def assemble_node_blocks(
     model: PackedModel, stiffness_scale, mass_factor
 ) -> jax.Array:
-    """Per-node 3x3 K_eff diagonal blocks, (N*, 3, 3) (pcg.cpp:270-378)."""
+    """Per-node 3x3 K_eff diagonal blocks, (N*, 3, 3) (pcg.cpp:270-378).
+
+    Chunked like the matvec (ops/apply_keff.py): the per-element block
+    temporaries carry (..., 3, 3) minor dims that lane-pad up to 42x, so
+    they evaluate in fixed-size lax.map chunks over the flat tables.
+    """
+    from .apply_keff import _HEX_CHUNK, _NODE_CHUNK, _TET_CHUNK, _map_chunks
+
     parts = []
     if model.padded_tet_count:
-        blocks_t = _local_blocks(
-            model.grads_tet,
-            model.vol_tet * stiffness_scale,
-            model.lam_tet,
-            model.mu_tet,
-        )  # (T, 4, 3, 3)
-        parts.append(blocks_t.reshape(-1, 9))
-    if model.padded_hex_count:
-        blocks_h = _local_blocks(
-            model.grads_hex,
-            (model.vol_hex * stiffness_scale),
-            model.lam_hex[:, None],
-            model.mu_hex[:, None],
-        )  # (H, 8gp, 8l, 3, 3)
-        parts.append(blocks_h.sum(axis=1).reshape(-1, 9))  # gp reduce
-    rows = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
-    gathered = rows[model.csr_idx]  # (N*, D, 9)
-    summed = jnp.sum(gathered * model.csr_weight[..., None], axis=1)
-    summed = summed.reshape(-1, 3, 3)
+        def tet_body(grads_f, vol, lam, mu):
+            blocks = _local_blocks(
+                grads_f.reshape(-1, 4, 3), vol * stiffness_scale, lam, mu
+            )  # (c, 4, 3, 3)
+            return blocks.reshape(-1)
+
+        parts.append(
+            _map_chunks(
+                tet_body,
+                [
+                    (model.grads_tet, 12),
+                    (model.vol_tet, 1),
+                    (model.lam_tet, 1),
+                    (model.mu_tet, 1),
+                ],
+                model.padded_tet_count,
+                _TET_CHUNK,
+            )
+        )
+    if model.padded_hex_count:
+
+        def hex_body(grads_f, vol_f, lam, mu):
+            blocks = _local_blocks(
+                grads_f.reshape(-1, 8, 8, 3),
+                vol_f.reshape(-1, 8) * stiffness_scale,
+                lam[:, None],
+                mu[:, None],
+            )  # (c, 8gp, 8l, 3, 3)
+            return blocks.sum(axis=1).reshape(-1)  # gp reduce
+
+        parts.append(
+            _map_chunks(
+                hex_body,
+                [
+                    (model.grads_hex, 192),
+                    (model.vol_hex, 8),
+                    (model.lam_hex, 1),
+                    (model.mu_hex, 1),
+                ],
+                model.padded_hex_count,
+                _HEX_CHUNK,
+            )
+        )
+    rows_flat = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+    n = model.padded_node_count
+    d = model.csr_degree
+
+    def gather_body(idx_f, w_f):
+        idx = idx_f.reshape(-1, d)
+        comp = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 9), 2)
+        gathered = rows_flat[idx[:, :, None] * 9 + comp]  # (c, D, 9)
+        w = w_f.reshape(-1, d)
+        return jnp.sum(gathered * w[..., None], axis=1).reshape(-1)
+
+    summed = _map_chunks(
+        gather_body,
+        [(model.csr_idx, d), (model.csr_weight, d)],
+        n,
+        _NODE_CHUNK,
+    ).reshape(n, 3, 3)
 
     mass = (mass_factor * model.lumped_mass)[:, None, None] * jnp.eye(
         3, dtype=summed.dtype

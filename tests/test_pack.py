@@ -36,12 +36,15 @@ def test_padded_sizing_and_noop_padding(packed):
     assert bc[model.node_count :].all()
     assert (np.asarray(model.lumped_mass)[model.node_count :] == 0).all()
     # padded hex rows: zero volume => zero force contribution
-    assert (np.asarray(model.vol_hex)[model.hex_count :] == 0).all()
+    vol = np.asarray(model.vol_hex).reshape(model.padded_hex_count, 8)
+    assert (vol[model.hex_count :] == 0).all()
 
 
 def test_csr_weights_cover_exactly_real_incidences(packed):
     model, *_ = packed
-    w = np.asarray(model.csr_weight)
+    w = np.asarray(model.csr_weight).reshape(
+        model.padded_node_count, model.csr_degree
+    )
     # every real corner incidence appears exactly once: 8 hexes x 8 corners
     assert w.sum() == model.hex_count * 8
     # padded nodes have no incidences

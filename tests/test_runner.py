@@ -239,7 +239,7 @@ def test_structured_output_parity_with_general(tmp_path, monkeypatch):
     assert fast_rows.shape == ref_rows.shape
     scale = np.abs(ref_rows).max(axis=0) + 1e-9
     np.testing.assert_allclose(
-        fast_rows / scale, ref_rows / scale, atol=2e-5
+        fast_rows / scale, ref_rows / scale, atol=5e-5
     )
 
     # VTU bytes: identical field structure; compare sizes as a smoke check
