@@ -561,7 +561,13 @@ def apply_keff_structured(
         return apply_keff_structured_sharded(
             model, x, stiffness_scale, mass_factor
         )
-    if model.homogeneous and model.use_pallas and jax.default_backend() == "tpu":
+    if (
+        model.homogeneous
+        and model.use_pallas
+        and x.dtype == jnp.float32  # the slab kernel is f32-only; the
+        # fp64 vector mode (precision.vectors) takes the XLA forms
+        and jax.default_backend() == "tpu"
+    ):
         from .pallas.structured_stencil import plane_fits
 
         _, _, y, z = x.shape

@@ -73,10 +73,13 @@ def apply_keff_structured_sharded(
     # kernel choice is per-LOCAL-slab: the Pallas kernel wins on large
     # planes on real TPUs; tests force it via pallas_interpret on CPU
     local_nodes = x_local * (model.ny + 1) * (model.nz + 1)
-    use_kernel = model.pallas_interpret or (
-        model.use_pallas
-        and jax.default_backend() == "tpu"
-        and local_nodes > _FLAT_INTERIOR_NODE_THRESHOLD
+    use_kernel = x.dtype == jnp.float32 and (
+        model.pallas_interpret
+        or (
+            model.use_pallas
+            and jax.default_backend() == "tpu"
+            and local_nodes > _FLAT_INTERIOR_NODE_THRESHOLD
+        )
     )
     if use_kernel:
         from .pallas.structured_stencil import plane_fits

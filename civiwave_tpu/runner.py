@@ -190,6 +190,7 @@ def build_simulation(
     stepper = NewmarkStepper(
         model, state, force, rayleigh, cfg.solver, cfg.time,
         reduction_precision=cfg.precision.reduction_precision,
+        vector_precision=cfg.precision.vector_precision,
     )
 
     sim = Simulation(

@@ -65,9 +65,9 @@ def dot_f64(a: jax.Array, b: jax.Array, dtype=jnp.float64) -> jax.Array:
     """
     if dtype == jnp.float32:
         return jnp.sum(a.astype(jnp.float32) * b.astype(jnp.float32))
-    prod = a.astype(jnp.float32) * b.astype(jnp.float32)
+    prod = a * b  # f32 vectors stay f32 (chunked); f64 vectors keep f64
     if prod.ndim >= 2:
-        partial = jnp.sum(prod, axis=-1)  # f32 minor-axis chunks
+        partial = jnp.sum(prod, axis=-1)  # minor-axis chunks
         return jnp.sum(partial.astype(dtype))
     return jnp.sum(prod.astype(dtype))
 
@@ -102,15 +102,18 @@ def solve_pcg(
     x0: jax.Array,
     warm_start: bool = True,
     reduction_dtype=jnp.float64,
+    vector_dtype=jnp.float32,
 ):
-    """PCG solve; returns (solution (N*, 3) f32, PcgTelemetry).
+    """PCG solve; returns (solution (N*, 3) vectors, PcgTelemetry).
 
     ``relative_tolerance`` and ``max_iterations`` may be traced scalars so
     pause-mode tolerance switches and adaptive policies never recompile.
     ``reduction_dtype`` is the dot-product accumulator type (the YAML
-    ``precision.reductions`` knob).
+    ``precision.reductions`` knob); ``vector_dtype`` is the solver-vector
+    type (``precision.vectors`` — f32 contract by default, f64 as the
+    accuracy/debug mode, config.hpp:152-156).
     """
-    f32 = jnp.float32
+    f32 = vector_dtype
     rdt = reduction_dtype
 
     def rdot(a, b):

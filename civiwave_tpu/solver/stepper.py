@@ -88,15 +88,29 @@ def newmark_step(
     newmark_gamma: float = 0.5,
     warm_start: bool = True,
     reduction_precision: str = "fp64",
+    vector_precision: str = "fp32",
 ) -> _DeviceStepOut:
     """One implicit Newmark frame, fully on device.
 
     ``dt``/``tolerance``/``max_iterations`` are traced; the Rayleigh and
     Newmark constants are Python floats fixed at trace time (they are fixed
-    per scenario in the reference too).
+    per scenario in the reference too).  ``vector_precision`` is the YAML
+    ``precision.vectors`` knob (config.hpp:152-156): "fp32" is the
+    production contract, "fp64" the accuracy/debug mode that carries every
+    kinematic and solver vector in f64 (structured grids then use the XLA
+    stencil forms — the Pallas kernel is f32-only).
     """
-    f32 = jnp.float32
+    f32 = jnp.float64 if vector_precision == "fp64" else jnp.float32
     dt = jnp.asarray(dt, jnp.float64)
+    u0 = state.displacement
+    if u0.dtype != f32:
+        state = SimState(
+            *(jnp.asarray(v, f32) for v in (
+                state.displacement, state.velocity,
+                state.acceleration, state.warm_x,
+            ))
+        )
+    external_force = jnp.asarray(external_force, f32)
 
     # coefficients (newmark.cpp:34-47) in f64 scalars on device
     beta, gamma = newmark_beta, newmark_gamma
@@ -122,19 +136,17 @@ def newmark_step(
     # effective RHS from the pre-step state (newmark_stepper.cpp:1162-1217)
     mass = model.mass_b
     mass_term = mass * (
-        a0.astype(f32) * u + a2.astype(f32) * v + jnp.float32(a3) * acc
+        a0.astype(f32) * u + a2.astype(f32) * v + f32(a3) * acc
     )
     damping_rhs = (
-        a1.astype(f32) * u + jnp.float32(a4) * v + a5.astype(f32) * acc
+        a1.astype(f32) * u + f32(a4) * v + a5.astype(f32) * acc
     )
-    rhs = external_force + mass_term + jnp.float32(rayleigh_alpha) * mass * damping_rhs
+    rhs = external_force + mass_term + f32(rayleigh_alpha) * mass * damping_rhs
     if rayleigh_beta != 0.0:
-        damping_output = model.apply_keff(
-            damping_rhs, jnp.float32(1.0), jnp.float32(0.0)
-        )
+        damping_output = model.apply_keff(damping_rhs, f32(1.0), f32(0.0))
         # stiffness-only operator has identity rows on constrained axes;
         # match the reference, which adds beta_R * (K * damping_rhs) verbatim
-        rhs = rhs + jnp.float32(rayleigh_beta) * damping_output
+        rhs = rhs + f32(rayleigh_beta) * damping_output
 
     # Dirichlet RHS clamp.  DELIBERATE DEVIATION from
     # newmark_stepper.cpp:1219-1243 (rhs = target - u): the effective system
@@ -156,6 +168,7 @@ def newmark_step(
         reduction_dtype=(
             jnp.float32 if reduction_precision == "fp32" else jnp.float64
         ),
+        vector_dtype=f32,
     )
 
     # state update (newmark_stepper.cpp:1288-1314) with delta = x - u_pred,
@@ -195,6 +208,7 @@ class NewmarkStepper:
         newmark_gamma: float = 0.5,
         warm_start: bool = True,
         reduction_precision: str = "fp64",
+        vector_precision: str = "fp32",
     ) -> None:
         self.model = model
         self.state = initial_state
@@ -219,6 +233,7 @@ class NewmarkStepper:
                 newmark_gamma=newmark_gamma,
                 warm_start=warm_start,
                 reduction_precision=reduction_precision,
+                vector_precision=vector_precision,
             )
         )
 

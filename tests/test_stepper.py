@@ -176,3 +176,52 @@ def test_warm_start_reduces_iterations():
         iters.append(telemetry.pcg_iterations)
     # warm start + converging transient: later solves get cheaper
     assert iters[-1] <= iters[0]
+
+
+def test_fp64_vectors_reproduce_oracle_to_1e6():
+    """The precision.vectors fp64 debug mode (config.hpp:152-156) must
+    reproduce the dense f64 oracle to better than 1e-6 relative
+    displacement — the BASELINE.md accuracy target — where fp32 vectors
+    land in the 1e-4..1e-5 band.  Also quantifies the fp32 error."""
+    mesh = bar_mesh(3, 2, 2, hex_elements=True)
+    cfg = bar_config(tol_runtime=1.0e-12, tol_pause=1.0e-12, max_iters=4000)
+    pre = preprocess.run(mesh, cfg)
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    ray = materials.compute_rayleigh(cfg.damping)
+
+    # dense f64 oracle, 2 frames
+    assembly = oracle.assemble_linear_system(mesh, pre, mats)
+    dirichlet = oracle.build_dirichlet_conditions(mesh, cfg)
+    state = newmark.State.zeros(mesh.dof_count)
+
+    results = {}
+    for precision in ("fp32", "fp64"):
+        model, st0, force = pack.build_packed_model(mesh, pre, cfg, mats)
+        stepper = NewmarkStepper(
+            model, st0, force, ray, cfg.solver, cfg.time,
+            vector_precision=precision,
+        )
+        for frame in range(2):
+            telemetry = stepper.step(frame * stepper.current_dt)
+            assert telemetry.pcg_converged
+        results[precision] = stepper.displacement().reshape(-1)
+
+    state = newmark.State.zeros(mesh.dof_count)
+    n = mesh.node_count
+    model, st0, force = pack.build_packed_model(mesh, pre, cfg, mats)
+    for frame in range(2):
+        coeffs = newmark.make_coefficients(cfg.time.initial_dt)
+        load = np.asarray(force)[:n].reshape(-1).astype(np.float64)
+        dense = oracle.solve_newmark_step(
+            assembly, ray, dirichlet, mesh, cfg, pre, coeffs, state,
+            frame * cfg.time.initial_dt, 1.0e-14, 8000, external_load=load,
+        )
+        state = dense.state
+
+    u_ref = dense.state.displacement
+    scale = np.abs(u_ref).max()
+    err64 = np.abs(results["fp64"] - u_ref).max() / scale
+    err32 = np.abs(results["fp32"] - u_ref).max() / scale
+    assert err64 < 1.0e-6, f"fp64-vector reproduction {err64:.2e} > 1e-6"
+    assert err32 < 1.0e-3  # fp32 contract stays in its documented band
+    assert err64 < err32  # and fp64 is strictly tighter
