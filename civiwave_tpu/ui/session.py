@@ -100,11 +100,26 @@ class InteractiveSession:
             self._stepper.accumulated_time, paused_mode
         )
         u = self._stepper.displacement()
-        derived = compute_derived_fields(
-            self._sim.preprocess,
-            self._d_all,
-            u,
-            self._sim.mesh.node_count,
-            self._sim.mesh.element_count,
-        )
+        if getattr(self._sim, "structured", False):
+            # device-side derived fields (post/structured_fields.py) keep
+            # the interactive loop at viewer rates on large grids
+            from ..post.structured_fields import (
+                compute_structured_derived,
+                derived_to_host,
+            )
+
+            derived = derived_to_host(
+                self._model,
+                compute_structured_derived(
+                    self._model, self._stepper.state.displacement
+                ),
+            )
+        else:
+            derived = compute_derived_fields(
+                self._sim.preprocess,
+                self._d_all,
+                u,
+                self._sim.mesh.node_count,
+                self._sim.mesh.element_count,
+            )
         return telemetry, derived
