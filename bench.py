@@ -127,14 +127,16 @@ def main() -> None:
         gdofs_general = _bench_matvec(model, dof, "general")
 
     # secondary metric: full Newmark-PCG stepping rate (structured path,
-    # runtime tolerance, warm starts) — the BASELINE.json "steps/sec" figure
+    # runtime tolerance, warm starts) — the BASELINE.json "steps/sec" figure.
+    # Measured under both preconditioners: block-Jacobi (the reference's,
+    # pcg.cpp:479-503) and the geometric multigrid V-cycle (ops/multigrid.py)
     if os.environ.get("CIVIWAVE_BENCH_STEPS", "1") == "1":
         from functools import partial
 
+        from civiwave_tpu.ops.multigrid import attach_multigrid
         from civiwave_tpu.solver.stepper import newmark_step
 
         ray = materials.compute_rayleigh(cfg.damping)
-        state0 = structured.zero_state()
         step = partial(
             newmark_step, rayleigh_alpha=ray.alpha, rayleigh_beta=ray.beta
         )
@@ -155,18 +157,30 @@ def main() -> None:
             u = s.displacement.ravel()
             return float(jnp.sum(jnp.abs(u[u.size // 2 : u.size // 2 + 64])))
 
-        final_state, total_iters = run_steps(structured, state0, _f)
-        checksum = steps_checksum(final_state)
         t0 = time.perf_counter()
-        final_state, total_iters = run_steps(structured, state0, _f)
-        checksum = steps_checksum(final_state)
-        elapsed = time.perf_counter() - t0
-        steps_per_sec = n_steps / elapsed
+        structured_mg = attach_multigrid(structured)
         log(
-            f"[structured] Newmark-PCG: {steps_per_sec:.1f} steps/s at "
-            f"{dof:,} DOF (avg {int(total_iters)/n_steps:.1f} PCG iters/step, "
-            f"tol 2e-4, checksum {checksum:.3e})"
+            f"multigrid hierarchy: {len(structured_mg.mg_levels)} coarse "
+            f"levels, omegas {tuple(round(w, 3) for w in structured_mg.mg_omegas)} "
+            f"(built in {time.perf_counter()-t0:.1f}s)"
         )
+        variants = [("block_jacobi", structured)]
+        if structured_mg.mg_levels:
+            variants.append(("multigrid", structured_mg))
+        for name, m in variants:
+            state0 = m.zero_state()
+            final_state, total_iters = run_steps(m, state0, _f)
+            checksum = steps_checksum(final_state)
+            t0 = time.perf_counter()
+            final_state, total_iters = run_steps(m, state0, _f)
+            checksum = steps_checksum(final_state)
+            elapsed = time.perf_counter() - t0
+            steps_per_sec = n_steps / elapsed
+            log(
+                f"[structured/{name}] Newmark-PCG: {steps_per_sec:.1f} steps/s "
+                f"at {dof:,} DOF (avg {int(total_iters)/n_steps:.1f} PCG "
+                f"iters/step, tol 2e-4, checksum {checksum:.3e})"
+            )
 
     if gdofs_general is not None:
         log(f"structured/general speedup: {gdofs_structured / gdofs_general:.1f}x")

@@ -100,6 +100,16 @@ class StructuredModel:
     # force the Pallas kernels through the interpreter (CPU tests exercise
     # the exact sharded-kernel code path without TPU hardware)
     pallas_interpret: bool = field(metadata=dict(static=True), default=False)
+    # geometric multigrid hierarchy (ops/multigrid.py): coarse levels are
+    # themselves StructuredModels (pytree children), attached by
+    # attach_multigrid when the YAML asks for solver.preconditioner:
+    # multigrid; empty tuple means plain block-Jacobi (the reference's
+    # only preconditioner, pcg.cpp:479-503)
+    mg_levels: Tuple["StructuredModel", ...] = ()
+    mg_omegas: Tuple[float, ...] = field(metadata=dict(static=True), default=())
+    preconditioner: str = field(
+        metadata=dict(static=True), default="block_jacobi"
+    )
 
     @property
     def grid_shape(self) -> Tuple[int, int, int]:
@@ -156,6 +166,12 @@ class StructuredModel:
     def build_preconditioner(self, stiffness_scale, mass_factor):
         from ..ops import structured as _ops
 
+        if self.preconditioner == "multigrid" and self.mg_levels:
+            from ..ops import multigrid as _mg
+
+            return _mg.build_mg_preconditioner(
+                self, stiffness_scale, mass_factor
+            )
         return _ops.build_block_jacobi_inverse_structured(
             self, stiffness_scale, mass_factor
         )
@@ -163,6 +179,10 @@ class StructuredModel:
     def apply_preconditioner(self, block_inverse, residual):
         from ..ops import structured as _ops
 
+        if self.preconditioner == "multigrid" and self.mg_levels:
+            from ..ops import multigrid as _mg
+
+            return _mg.apply_mg_preconditioner(self, block_inverse, residual)
         return _ops.apply_preconditioner_structured(
             self, block_inverse, residual
         )

@@ -103,4 +103,8 @@ def try_build_structured(
             curve_parts.append((t.scale_curve, jnp.asarray(part)))
         else:
             base = base + jnp.asarray(part)
+    if cfg.solver.preconditioner == "multigrid":
+        from ..ops.multigrid import attach_multigrid
+
+        model = attach_multigrid(model)
     return model, StructuredForceSchedule(base=base, curve_parts=curve_parts)

@@ -152,7 +152,10 @@ def solve_pcg(
         )
 
     def body(carry: _Carry) -> _Carry:
-        ap = model.apply_keff(carry.p, stiffness_scale, mass_factor)
+        # named scopes = the reference's per-dispatch RGP labels
+        # (newmark_stepper.cpp:809-817) for jax.profiler traces
+        with jax.named_scope("pcg_matvec"):
+            ap = model.apply_keff(carry.p, stiffness_scale, mass_factor)
         denom = rdot(carry.p, ap)
         breakdown = jnp.abs(denom) < _BREAKDOWN_TOL
         safe_denom = jnp.where(breakdown, 1.0, denom)
@@ -174,7 +177,8 @@ def solve_pcg(
 
         # precondition BEFORE the norms: r-update, preconditioner apply and
         # both r-reductions then fuse into adjacent passes over r/z.
-        z = model.apply_preconditioner(block_inverse, r)
+        with jax.named_scope("pcg_precondition"):
+            z = model.apply_preconditioner(block_inverse, r)
         residual_norm = jnp.sqrt(rdot(r, r))
         converged = residual_norm <= tolerance
 

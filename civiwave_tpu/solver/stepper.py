@@ -128,25 +128,30 @@ def newmark_step(
     v = state.velocity
     acc = state.acceleration
 
-    # predictor from the pre-step state (newmark_stepper.cpp:1245-1286)
-    dt32 = dt.astype(f32)
-    u_pred = u + dt32 * v + ((0.5 - beta) * dt * dt).astype(f32) * acc
-    v_pred = v + ((1.0 - gamma) * dt).astype(f32) * acc
+    # predictor from the pre-step state (newmark_stepper.cpp:1245-1286).
+    # named_scope = the TPU analogue of the reference's RGP debug labels
+    # around every dispatch ("Newmark Dispatch", vulkan_context.cpp:777-813)
+    with jax.named_scope("newmark_predictor"):
+        dt32 = dt.astype(f32)
+        u_pred = u + dt32 * v + ((0.5 - beta) * dt * dt).astype(f32) * acc
+        v_pred = v + ((1.0 - gamma) * dt).astype(f32) * acc
 
     # effective RHS from the pre-step state (newmark_stepper.cpp:1162-1217)
-    mass = model.mass_b
-    mass_term = mass * (
-        a0.astype(f32) * u + a2.astype(f32) * v + f32(a3) * acc
-    )
-    damping_rhs = (
-        a1.astype(f32) * u + f32(a4) * v + a5.astype(f32) * acc
-    )
-    rhs = external_force + mass_term + f32(rayleigh_alpha) * mass * damping_rhs
-    if rayleigh_beta != 0.0:
-        damping_output = model.apply_keff(damping_rhs, f32(1.0), f32(0.0))
-        # stiffness-only operator has identity rows on constrained axes;
-        # match the reference, which adds beta_R * (K * damping_rhs) verbatim
-        rhs = rhs + f32(rayleigh_beta) * damping_output
+    with jax.named_scope("effective_rhs"):
+        mass = model.mass_b
+        mass_term = mass * (
+            a0.astype(f32) * u + a2.astype(f32) * v + f32(a3) * acc
+        )
+        damping_rhs = (
+            a1.astype(f32) * u + f32(a4) * v + a5.astype(f32) * acc
+        )
+        rhs = external_force + mass_term + f32(rayleigh_alpha) * mass * damping_rhs
+        if rayleigh_beta != 0.0:
+            damping_output = model.apply_keff(damping_rhs, f32(1.0), f32(0.0))
+            # stiffness-only operator has identity rows on constrained axes;
+            # match the reference, which adds beta_R * (K * damping_rhs)
+            # verbatim
+            rhs = rhs + f32(rayleigh_beta) * damping_output
 
     # Dirichlet RHS clamp.  DELIBERATE DEVIATION from
     # newmark_stepper.cpp:1219-1243 (rhs = target - u): the effective system
@@ -156,32 +161,34 @@ def newmark_step(
     # x - u_pred (see oracle.apply_dirichlet for the full rationale).
     rhs = jnp.where(model.bc_mask, model.bc_value, rhs)
 
-    solution, pcg_telemetry = solve_pcg(
-        model,
-        rhs,
-        stiffness_scale,
-        mass_factor,
-        tolerance,
-        max_iterations,
-        state.warm_x,
-        warm_start=warm_start,
-        reduction_dtype=(
-            jnp.float32 if reduction_precision == "fp32" else jnp.float64
-        ),
-        vector_dtype=f32,
-    )
+    with jax.named_scope("pcg_solve"):
+        solution, pcg_telemetry = solve_pcg(
+            model,
+            rhs,
+            stiffness_scale,
+            mass_factor,
+            tolerance,
+            max_iterations,
+            state.warm_x,
+            warm_start=warm_start,
+            reduction_dtype=(
+                jnp.float32 if reduction_precision == "fp32" else jnp.float64
+            ),
+            vector_dtype=f32,
+        )
 
     # state update (newmark_stepper.cpp:1288-1314) with delta = x - u_pred,
     # algebraically identical to a' = a0(x-u) - a2 v - a3 a (newmark.cpp:151)
-    delta = solution - u_pred
-    inv_beta_dt2 = (1.0 / (beta * dt * dt)).astype(f32)
-    gamma_over_beta_dt = (gamma / (beta * dt)).astype(f32)
-    new_state = SimState(
-        displacement=u_pred + delta,
-        velocity=v_pred + gamma_over_beta_dt * delta,
-        acceleration=inv_beta_dt2 * delta,
-        warm_x=solution,
-    )
+    with jax.named_scope("newmark_update"):
+        delta = solution - u_pred
+        inv_beta_dt2 = (1.0 / (beta * dt * dt)).astype(f32)
+        gamma_over_beta_dt = (gamma / (beta * dt)).astype(f32)
+        new_state = SimState(
+            displacement=u_pred + delta,
+            velocity=v_pred + gamma_over_beta_dt * delta,
+            acceleration=inv_beta_dt2 * delta,
+            warm_x=solution,
+        )
     return _DeviceStepOut(state=new_state, pcg=pcg_telemetry)
 
 

@@ -1,0 +1,251 @@
+"""Geometric multigrid V-cycle preconditioner (ops/multigrid.py).
+
+The preconditioner never changes WHAT PCG converges to — only how fast —
+so the suite pins the structural properties PCG requires (exact transfer
+transposition, Galerkin agreement of the rediscretized coarse operator,
+symmetry + positive definiteness of the V-cycle) and then the payoff:
+same solutions and trajectories as block-Jacobi in strictly fewer
+iterations.  Reference baseline: block-Jacobi is the reference's only
+preconditioner (pcg.cpp:479-503); multigrid is a deliberate improvement
+(VERDICT round-1 item 3).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from civiwave_tpu.mesh.structured import build_structured_model
+from civiwave_tpu.ops import multigrid as mg
+from civiwave_tpu.ops import structured as sops
+from civiwave_tpu.physics import materials
+from civiwave_tpu.solver.pcg import solve_pcg
+from civiwave_tpu.solver.stepper import newmark_step
+from civiwave_tpu.utils.synthetic import cantilever_config
+
+
+def _material(cfg):
+    return materials.make_properties(cfg.materials[0])
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return cantilever_config(traction=-1.0e6)
+
+
+@pytest.fixture(scope="module")
+def mg_model(cfg):
+    """10x6x6 cantilever with dead +X padding, MG hierarchy attached."""
+    model, force = build_structured_model(
+        10, 6, 6, _material(cfg), cfg.materials[0].density,
+        traction=(0.0, 0.0, -1.0e6), pad_x_multiple=4,
+    )
+    attached = mg.attach_multigrid(model)
+    return attached, force
+
+
+def test_transfer_transpose_property(rng):
+    """<P e, d>_fine == <e, P^T d>_coarse exactly (same weights)."""
+    fine_shape = (9, 8, 7)  # odd, even, odd extents: all end cases
+    coarse_shape = tuple((d + 1) // 2 for d in fine_shape)
+    e = jnp.asarray(rng.standard_normal((3, *coarse_shape)))
+    d = jnp.asarray(rng.standard_normal((3, *fine_shape)))
+    lhs = float(jnp.sum(mg.prolong(e, fine_shape) * d))
+    rhs = float(jnp.sum(e * mg.restrict(d)))
+    assert lhs == pytest.approx(rhs, rel=1e-12)
+
+
+def test_prolong_interior_weights():
+    """Even fine nodes copy the coarse value; odd nodes average neighbors."""
+    coarse = jnp.zeros((3, 3, 3, 3)).at[0, 1, 1, 1].set(1.0)
+    fine = np.asarray(mg.prolong(coarse, (5, 5, 5)))
+    assert fine[0, 2, 2, 2] == pytest.approx(1.0)
+    assert fine[0, 1, 2, 2] == pytest.approx(0.5)
+    assert fine[0, 1, 1, 2] == pytest.approx(0.25)
+    assert fine[0, 1, 1, 1] == pytest.approx(0.125)
+    assert fine[1].max() == 0.0  # components do not mix
+
+
+def test_galerkin_agreement_on_nested_grid(cfg, rng):
+    """P^T K_f P == K_2h on a nested free-free box (trilinear hex FEM:
+    Galerkin and rediscretization coincide where grids nest exactly)."""
+    fine, _ = build_structured_model(
+        4, 4, 4, _material(cfg), cfg.materials[0].density,
+        fixed_axis_planes=(),
+    )
+    coarse = mg._coarsen_model(fine)
+    assert coarse is not None
+    assert coarse.grid_shape == (3, 3, 3)
+    assert coarse.spacing == (2.0, 2.0, 2.0)
+
+    e = jnp.asarray(rng.standard_normal((3, *coarse.grid_shape)))
+    one = np.float32(1.0)
+    zero = np.float32(0.0)
+    galerkin = mg.restrict(
+        sops.apply_keff_structured(
+            fine, mg.prolong(e, fine.grid_shape), one, zero
+        )
+    )
+    redisc = sops.apply_keff_structured(coarse, e, one, zero)
+    np.testing.assert_allclose(
+        np.asarray(galerkin), np.asarray(redisc),
+        rtol=2e-5, atol=2e-5 * float(jnp.max(jnp.abs(redisc))),
+    )
+
+
+def test_coarse_mass_conserved_and_interior_rediscretized(cfg):
+    fine, _ = build_structured_model(
+        8, 6, 6, _material(cfg), cfg.materials[0].density,
+    )
+    coarse = mg._coarsen_model(fine)
+    m_f = np.asarray(fine.mass_grid)
+    m_c = np.asarray(coarse.mass_grid)
+    assert m_c.sum() == pytest.approx(m_f.sum(), rel=1e-6)
+    # interior coarse node: rho * (2h)^3 = 8x the fine interior value
+    assert m_c[2, 2, 2] == pytest.approx(8.0 * m_f[2, 2, 2], rel=1e-6)
+
+
+def test_hierarchy_shapes_and_fallbacks(cfg):
+    model, force = build_structured_model(
+        10, 6, 6, _material(cfg), cfg.materials[0].density,
+        pad_x_multiple=4,
+    )
+    attached = mg.attach_multigrid(model)
+    assert attached.preconditioner == "multigrid"
+    assert len(attached.mg_levels) >= 1
+    assert len(attached.mg_omegas) == len(attached.mg_levels) + 1
+    assert all(0.0 < w < 1.0 for w in attached.mg_omegas)
+    # injected constraints: coarse x0 plane stays fully fixed
+    lvl = attached.mg_levels[0]
+    assert bool(np.asarray(lvl.bc_mask)[:, 0].all())
+
+    # too small to coarsen -> unchanged
+    tiny, _ = build_structured_model(
+        2, 2, 2, _material(cfg), cfg.materials[0].density
+    )
+    assert mg.attach_multigrid(tiny) is tiny
+
+    # heterogeneous material -> unchanged (no constant coarse stencil)
+    lam = np.full((4, 4, 4), 1.0e9, np.float32)
+    lam[0, 0, 0] = 2.0e9
+    hetero, _ = build_structured_model(
+        4, 4, 4, _material(cfg), cfg.materials[0].density, lam_grid=lam,
+        mu_grid=np.full((4, 4, 4), 8.0e8, np.float32),
+    )
+    assert mg.attach_multigrid(hetero) is hetero
+
+
+def test_vcycle_symmetric_positive_definite(mg_model, rng):
+    """<x, M^-1 y> == <y, M^-1 x> and <x, M^-1 x> > 0 on the free subspace
+    — what PCG requires of a preconditioner."""
+    model, _force = mg_model
+    ss = np.float32(1.0)
+    mf = np.float32(1.0e3)
+    precond = model.build_preconditioner(ss, mf)
+
+    def apply(v):
+        return model.apply_preconditioner(precond, v)
+
+    free = ~np.asarray(model.bc_mask)
+    x = jnp.asarray(rng.standard_normal(model.vector_shape) * free)
+    y = jnp.asarray(rng.standard_normal(model.vector_shape) * free)
+    x_my = float(jnp.sum(x * apply(y)))
+    y_mx = float(jnp.sum(y * apply(x)))
+    assert x_my == pytest.approx(y_mx, rel=1e-10)
+    assert float(jnp.sum(x * apply(x))) > 0.0
+    assert float(jnp.sum(y * apply(y))) > 0.0
+    # constrained components stay exactly zero
+    z = np.asarray(apply(x))
+    assert np.all(z[~free] == 0.0)
+
+
+def test_pcg_same_solution_fewer_iterations(mg_model, cfg):
+    """Stiffness-dominated solve: identical solution, fewer iterations."""
+    model, force = mg_model
+    baseline = dataclasses.replace(
+        model, mg_levels=(), mg_omegas=(), preconditioner="block_jacobi"
+    )
+    ss = np.float32(1.0)
+    mf = np.float32(0.0)  # pure stiffness: the hard regime for block-Jacobi
+    rhs = jnp.where(model.bc_mask, model.bc_value, force)
+    x0 = jnp.zeros(model.vector_shape, jnp.float32)
+
+    def solve(m):
+        return jax.jit(
+            lambda mm, r, x: solve_pcg(
+                mm, r, ss, mf, 1.0e-8, 1500, x, warm_start=False
+            )
+        )(m, rhs, x0)
+
+    x_bj, tel_bj = solve(baseline)
+    x_mg, tel_mg = solve(model)
+    assert bool(tel_bj.converged) and bool(tel_mg.converged)
+    iters_bj = int(tel_bj.iterations)
+    iters_mg = int(tel_mg.iterations)
+    assert iters_mg < iters_bj / 2, (iters_mg, iters_bj)
+    # two converged iterates of the same system: agreement bounded by the
+    # solve tolerance, not machine epsilon
+    scale = float(jnp.max(jnp.abs(x_bj)))
+    np.testing.assert_allclose(
+        np.asarray(x_mg), np.asarray(x_bj), atol=1.0e-5 * scale
+    )
+
+
+def test_newmark_trajectory_parity(mg_model, cfg):
+    """3 dynamic frames in fp64 vector mode: multigrid and block-Jacobi
+    produce the same trajectory (tight tolerance, fully converged)."""
+    model, force = mg_model
+    baseline = dataclasses.replace(
+        model, mg_levels=(), mg_omegas=(), preconditioner="block_jacobi"
+    )
+    ray = materials.compute_rayleigh(cfg.damping)
+
+    def run(m):
+        state = m.zero_state()
+        iters = 0
+        for _ in range(3):
+            out = newmark_step(
+                m, state, force, 1.0e-3, 1.0e-10, 3000,
+                rayleigh_alpha=ray.alpha, rayleigh_beta=ray.beta,
+                vector_precision="fp64",
+            )
+            state = out.state
+            iters += int(out.pcg.iterations)
+        return np.asarray(state.displacement), iters
+
+    u_bj, iters_bj = run(baseline)
+    u_mg, iters_mg = run(model)
+    assert iters_mg < iters_bj
+    scale = np.abs(u_bj).max()
+    np.testing.assert_allclose(u_mg, u_bj, atol=1.0e-8 * scale)
+
+
+def test_scaled_block_inverse_survives_coarse_magnitudes():
+    """Coarse-level blocks (diag ~ mass_factor * rho * (2^l h)^3 ~ 3e14 by
+    level 5) overflow the plain f32 adjugate/determinant inversion to
+    inf - inf = NaN; the MG build normalizes by the max diagonal first.
+    Regression for the 4.5M-DOF NaN found on hardware."""
+    from civiwave_tpu.ops.structured import _invert_spd_3x3_lead
+
+    b = np.array(
+        [[3.3e14, 5.0e12, 2.0e12],
+         [5.0e12, 3.1e14, 1.0e12],
+         [2.0e12, 1.0e12, 3.2e14]], np.float32,
+    ).reshape(3, 3, 1)
+    plain = np.asarray(
+        _invert_spd_3x3_lead(jnp.asarray(b, jnp.float32))
+    )
+    assert not np.isfinite(plain).all()  # documents the f32 failure mode
+
+    # the MG smoother path on a deep-coarse-level-like model stays finite
+    cfg = cantilever_config(traction=-1.0e6)
+    coarse, _ = build_structured_model(
+        4, 4, 4, _material(cfg), cfg.materials[0].density,
+        spacing=(32.0, 32.0, 32.0),
+    )
+    inv = mg._block_inverse_scaled(coarse, np.float32(1.0), np.float32(4.0e6))
+    inv = np.asarray(inv)
+    assert np.isfinite(inv).all()
+    assert (inv[:3] > 0).all()  # SPD: positive diagonal entries

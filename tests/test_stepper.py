@@ -225,3 +225,39 @@ def test_fp64_vectors_reproduce_oracle_to_1e6():
     assert err64 < 1.0e-6, f"fp64-vector reproduction {err64:.2e} > 1e-6"
     assert err32 < 1.0e-3  # fp32 contract stays in its documented band
     assert err64 < err32  # and fp64 is strictly tighter
+
+
+def test_named_scopes_in_lowered_program():
+    """The profiler name scopes (the TPU analogue of the reference's RGP
+    debug labels, vulkan_context.cpp:777-813) survive into the lowered
+    program so jax.profiler traces group ops by phase."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from civiwave_tpu.mesh.structured import build_structured_model
+    from civiwave_tpu.solver.stepper import newmark_step
+
+    cfg = tet_config()
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    model, force = build_structured_model(
+        3, 3, 3, mats[0], cfg.materials[0].density,
+        traction=(0.0, 0.0, -1.0e5),
+    )
+    step = partial(
+        newmark_step, rayleigh_alpha=0.1, rayleigh_beta=1e-4
+    )
+    lowered = jax.jit(step).lower(
+        model, model.zero_state(), force,
+        jnp.float64(1e-3), jnp.float64(1e-4), jnp.int32(32),
+    )
+    text = lowered.as_text(debug_info=True)
+    for scope in (
+        "newmark_predictor",
+        "effective_rhs",
+        "pcg_solve",
+        "pcg_matvec",
+        "pcg_precondition",
+        "newmark_update",
+    ):
+        assert scope in text, f"named scope '{scope}' missing from HLO"
