@@ -110,7 +110,10 @@ def main() -> None:
         f"mesh: {nx}x{ny}x{nz} hex | nodes={structured.node_count:,} "
         f"dof={dof:,} elements={structured.element_count:,}"
     )
-    gdofs_structured = _bench_matvec(structured, dof, "structured")
+    if os.environ.get("CIVIWAVE_BENCH_MATVEC", "1") == "1":
+        gdofs_structured = _bench_matvec(structured, dof, "structured")
+    else:  # steps-only iteration mode; headline JSON still needs a value
+        gdofs_structured = float("nan")
 
     # general unstructured path on the same box (on by default only at
     # sizes where its pack + gathers stay tractable)
@@ -157,16 +160,20 @@ def main() -> None:
             u = s.displacement.ravel()
             return float(jnp.sum(jnp.abs(u[u.size // 2 : u.size // 2 + 64])))
 
-        t0 = time.perf_counter()
-        structured_mg = attach_multigrid(structured)
-        log(
-            f"multigrid hierarchy: {len(structured_mg.mg_levels)} coarse "
-            f"levels, omegas {tuple(round(w, 3) for w in structured_mg.mg_omegas)} "
-            f"(built in {time.perf_counter()-t0:.1f}s)"
-        )
         variants = [("block_jacobi", structured)]
-        if structured_mg.mg_levels:
-            variants.append(("multigrid", structured_mg))
+        # MG wins below ~1M DOF and loses once the fine matvec dominates
+        # the iteration (ADR-15) — only bench it where it is the right tool
+        if structured.node_count <= 500_000:
+            t0 = time.perf_counter()
+            structured_mg = attach_multigrid(structured)
+            log(
+                f"multigrid hierarchy: {len(structured_mg.mg_levels)} coarse "
+                f"levels, omegas "
+                f"{tuple(round(w, 3) for w in structured_mg.mg_omegas)} "
+                f"(built in {time.perf_counter()-t0:.1f}s)"
+            )
+            if structured_mg.mg_levels:
+                variants.append(("multigrid", structured_mg))
         for name, m in variants:
             state0 = m.zero_state()
             final_state, total_iters = run_steps(m, state0, _f)
@@ -186,13 +193,23 @@ def main() -> None:
         log(f"structured/general speedup: {gdofs_structured / gdofs_general:.1f}x")
     log(f"device: {jax.devices()[0]}")
 
+    import math
+
     print(
         json.dumps(
             {
                 "metric": "ebe_matvec_throughput",
-                "value": round(gdofs_structured, 4),
+                "value": (
+                    round(gdofs_structured, 4)
+                    if math.isfinite(gdofs_structured)
+                    else None  # steps-only iteration mode (MATVEC=0)
+                ),
                 "unit": "GDOF/s",
-                "vs_baseline": round(gdofs_structured / _BASELINE_GDOFS, 3),
+                "vs_baseline": (
+                    round(gdofs_structured / _BASELINE_GDOFS, 3)
+                    if math.isfinite(gdofs_structured)
+                    else None
+                ),
             }
         )
     )

@@ -179,34 +179,53 @@ def _coarsen_model(model: StructuredModel) -> StructuredModel | None:
 
 def _estimate_lambda_max(model: StructuredModel) -> float:
     """lambda_max(B_K^-1 K) by power iteration on the free subspace (the
-    pure-stiffness extreme; max(lambda, 1) then bounds every (ss, mf))."""
-    from . import structured as _ops
+    pure-stiffness extreme; max(lambda, 1) then bounds every (ss, mf)).
 
-    binv = _ops.build_block_jacobi_inverse_structured(
-        model, np.float32(1.0), np.float32(0.0)
-    )
+    Runs on the CPU backend when one is available: every power-iterated
+    level is <= _POWER_MAX_NODES nodes (trivial compute), but each level
+    needs its own jit compile, and per-level TPU compiles dominated the
+    hierarchy build (~190 s at 945k DOF measured; ~2 s on CPU).
+    """
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
 
-    @jax.jit
-    def iterate(w):
-        aw = _ops.apply_keff_structured(
-            model, w, np.float32(1.0), np.float32(0.0)
+    def _run():
+        from . import structured as _ops
+
+        binv = _ops.build_block_jacobi_inverse_structured(
+            model, np.float32(1.0), np.float32(0.0)
         )
-        # identity rows return the (zero) constrained input; keep the
-        # iterate on the free subspace explicitly anyway
-        y = _ops.apply_preconditioner_structured(
-            model, binv, jnp.where(model.bc_mask, 0.0, aw)
-        )
-        norm = jnp.sqrt(jnp.sum(y * y))
-        return y / jnp.maximum(norm, 1.0e-30), norm
 
-    rng = np.random.default_rng(7)
-    w = jnp.asarray(rng.standard_normal(model.vector_shape).astype(np.float32))
-    w = jnp.where(model.bc_mask, 0.0, w)
-    w = w / jnp.sqrt(jnp.sum(w * w))
-    lam = 1.0
-    for _ in range(_POWER_ITERS):
-        w, lam = iterate(w)
-    return float(lam)
+        @jax.jit
+        def iterate(w):
+            aw = _ops.apply_keff_structured(
+                model, w, np.float32(1.0), np.float32(0.0)
+            )
+            # identity rows return the (zero) constrained input; keep the
+            # iterate on the free subspace explicitly anyway
+            y = _ops.apply_preconditioner_structured(
+                model, binv, jnp.where(model.bc_mask, 0.0, aw)
+            )
+            norm = jnp.sqrt(jnp.sum(y * y))
+            return y / jnp.maximum(norm, 1.0e-30), norm
+
+        rng = np.random.default_rng(7)
+        w = jnp.asarray(
+            rng.standard_normal(model.vector_shape).astype(np.float32)
+        )
+        w = jnp.where(model.bc_mask, 0.0, w)
+        w = w / jnp.sqrt(jnp.sum(w * w))
+        lam = 1.0
+        for _ in range(_POWER_ITERS):
+            w, lam = iterate(w)
+        return float(lam)
+
+    if cpu is None:
+        return _run()
+    with jax.default_device(cpu):
+        return _run()
 
 
 def attach_multigrid(model: StructuredModel) -> StructuredModel:

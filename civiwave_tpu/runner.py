@@ -183,6 +183,16 @@ def build_simulation(
         force = schedule.at_time(cfg.curves, 0.0)
         mesh = pre = None
     else:
+        if cfg.solver.preconditioner == "multigrid":
+            # geometric MG needs the structured fast path's uniform grid;
+            # the general gather path solves with block-Jacobi (the
+            # reference's preconditioner, pcg.cpp:479-503)
+            print(
+                "note: solver.preconditioner 'multigrid' requires the "
+                "structured fast path; this scenario takes the general "
+                "path with block_jacobi",
+                file=sys.stderr,
+            )
         mesh = _load_mesh(cfg, scenario_path, mesh_root)
         pre = preprocess.run(mesh, cfg)
         model, state, force = pack.build_packed_model(mesh, pre, cfg, mats)
