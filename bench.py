@@ -137,19 +137,23 @@ def main() -> None:
         from functools import partial
 
         from civiwave_tpu.ops.multigrid import attach_multigrid
-        from civiwave_tpu.solver.stepper import newmark_step
+        from civiwave_tpu.solver.stepper import effective_scalars, newmark_step
 
         ray = materials.compute_rayleigh(cfg.damping)
         step = partial(
             newmark_step, rayleigh_alpha=ray.alpha, rayleigh_beta=ray.beta
         )
         n_steps = 8
+        # prebuilt preconditioner, exactly as NewmarkStepper hoists it
+        # (rebuild-on-dt-change; dt is fixed here) — ADR-17
+        pc_ss, pc_mf = effective_scalars(1.0e-3, ray.alpha, ray.beta)
+        build_pc = jax.jit(lambda m, a, b: m.build_preconditioner(a, b))
 
         @jax.jit
-        def run_steps(m, s, f):
+        def run_steps(m, s, f, pc):
             def body(i, carry):
                 s, iters = carry
-                out = step(m, s, f, 1.0e-3, 2.0e-4, 120)
+                out = step(m, s, f, 1.0e-3, 2.0e-4, 120, preconditioner=pc)
                 return out.state, iters + out.pcg.iterations
 
             return jax.lax.fori_loop(
@@ -176,10 +180,11 @@ def main() -> None:
                 variants.append(("multigrid", structured_mg))
         for name, m in variants:
             state0 = m.zero_state()
-            final_state, total_iters = run_steps(m, state0, _f)
+            pc = build_pc(m, pc_ss, pc_mf)
+            final_state, total_iters = run_steps(m, state0, _f, pc)
             checksum = steps_checksum(final_state)
             t0 = time.perf_counter()
-            final_state, total_iters = run_steps(m, state0, _f)
+            final_state, total_iters = run_steps(m, state0, _f, pc)
             checksum = steps_checksum(final_state)
             elapsed = time.perf_counter() - t0
             steps_per_sec = n_steps / elapsed

@@ -103,6 +103,7 @@ def solve_pcg(
     warm_start: bool = True,
     reduction_dtype=jnp.float64,
     vector_dtype=jnp.float32,
+    preconditioner=None,
 ):
     """PCG solve; returns (solution (N*, 3) vectors, PcgTelemetry).
 
@@ -112,6 +113,11 @@ def solve_pcg(
     ``precision.reductions`` knob); ``vector_dtype`` is the solver-vector
     type (``precision.vectors`` — f32 contract by default, f64 as the
     accuracy/debug mode, config.hpp:152-156).
+
+    ``preconditioner``: a prebuilt ``model.build_preconditioner(ss, mf)``
+    result to reuse across solves.  Building it in-solve costs 80 ms of the
+    ~460 ms step at 50M DOF (ADR-17) and only depends on dt through
+    (ss, mf), so the stepper hoists it and rebuilds on dt changes only.
     """
     f32 = vector_dtype
     rdt = reduction_dtype
@@ -119,7 +125,11 @@ def solve_pcg(
     def rdot(a, b):
         return dot_f64(a, b, rdt)
 
-    block_inverse = model.build_preconditioner(stiffness_scale, mass_factor)
+    block_inverse = (
+        model.build_preconditioner(stiffness_scale, mass_factor)
+        if preconditioner is None
+        else preconditioner
+    )
 
     x = x0 if warm_start else jnp.zeros_like(x0)
 
@@ -176,7 +186,9 @@ def solve_pcg(
         # elided to save the bc/rhs reads (pinned by the parity tests).
 
         # precondition BEFORE the norms: r-update, preconditioner apply and
-        # both r-reductions then fuse into adjacent passes over r/z.
+        # both r-reductions then fuse into adjacent passes over r/z.  (A
+        # hand-fused Pallas version of this whole tail was measured and
+        # removed — XLA's loop fusion already delivers it, ADR-16.)
         with jax.named_scope("pcg_precondition"):
             z = model.apply_preconditioner(block_inverse, r)
         residual_norm = jnp.sqrt(rdot(r, r))

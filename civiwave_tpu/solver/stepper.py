@@ -32,6 +32,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config.schema import SolverSettings, TimeSettings
 from ..mesh.pack import PackedModel, SimState
@@ -74,6 +75,24 @@ class _DeviceStepOut(NamedTuple):
     pcg: PcgTelemetry
 
 
+def effective_scalars(
+    dt: float,
+    rayleigh_alpha: float,
+    rayleigh_beta: float,
+    newmark_beta: float = 0.25,
+    newmark_gamma: float = 0.5,
+):
+    """Host-side (stiffness_scale, mass_factor) as np.float32 — bitwise the
+    values newmark_step derives on device from the same f64 dt
+    (newmark_stepper.cpp:1322-1326), for prebuilding the preconditioner."""
+    a0 = 1.0 / (newmark_beta * dt * dt)
+    a1 = newmark_gamma / (newmark_beta * dt)
+    return (
+        np.float32(1.0 + a1 * rayleigh_beta),
+        np.float32(a0 + a1 * rayleigh_alpha),
+    )
+
+
 def newmark_step(
     model: PackedModel,
     state: SimState,
@@ -87,8 +106,10 @@ def newmark_step(
     newmark_beta: float = 0.25,
     newmark_gamma: float = 0.5,
     warm_start: bool = True,
+    warm_start_policy: str = "predictor",
     reduction_precision: str = "fp64",
     vector_precision: str = "fp32",
+    preconditioner=None,
 ) -> _DeviceStepOut:
     """One implicit Newmark frame, fully on device.
 
@@ -161,6 +182,16 @@ def newmark_step(
     # x - u_pred (see oracle.apply_dirichlet for the full rationale).
     rhs = jnp.where(model.bc_mask, model.bc_value, rhs)
 
+    # Warm-start seed.  The reference warm-starts from the previous solve's
+    # solution (newmark_stepper.cpp:1120-1133) = the "solution" policy; the
+    # default "predictor" policy seeds from u_pred instead — the same vector
+    # the Newmark update measures the increment against, and a strictly
+    # better extrapolation (it carries velocity + acceleration forward,
+    # where the previous solution lags one frame).  Measured at tol 2e-4:
+    # 28.0 -> 24.9 iters/step at 4.44M DOF (+9.8% steps/s) for zero extra
+    # memory or passes (ADR-17).
+    x_seed = u_pred if warm_start_policy == "predictor" else state.warm_x
+
     with jax.named_scope("pcg_solve"):
         solution, pcg_telemetry = solve_pcg(
             model,
@@ -169,12 +200,13 @@ def newmark_step(
             mass_factor,
             tolerance,
             max_iterations,
-            state.warm_x,
+            x_seed,
             warm_start=warm_start,
             reduction_dtype=(
                 jnp.float32 if reduction_precision == "fp32" else jnp.float64
             ),
             vector_dtype=f32,
+            preconditioner=preconditioner,
         )
 
     # state update (newmark_stepper.cpp:1288-1314) with delta = x - u_pred,
@@ -243,6 +275,17 @@ class NewmarkStepper:
                 vector_precision=vector_precision,
             )
         )
+        # preconditioner hoisting: the build depends on dt only (through
+        # the K_eff scalars), so it is built host-side-triggered and reused
+        # across frames; rebuilding in-step cost 80 ms of the ~460 ms frame
+        # at 50M DOF (ADR-17).  _precond_dt tracks the dt it was built for.
+        self._newmark_beta = newmark_beta
+        self._newmark_gamma = newmark_gamma
+        self._precond = None
+        self._precond_dt = None
+        self._build_precond_fn = jax.jit(
+            lambda m, ss, mf: m.build_preconditioner(ss, mf)
+        )
 
     @property
     def node_count(self) -> int:
@@ -263,6 +306,16 @@ class NewmarkStepper:
             if paused_mode
             else self.solver_settings.runtime_tolerance
         )
+        if self._precond_dt != self.current_dt:
+            ss, mf = effective_scalars(
+                self.current_dt,
+                self.rayleigh.alpha,
+                self.rayleigh.beta,
+                self._newmark_beta,
+                self._newmark_gamma,
+            )
+            self._precond = self._build_precond_fn(self.model, ss, mf)
+            self._precond_dt = self.current_dt
         out = self._step_fn(
             self.model,
             self.state,
@@ -270,6 +323,7 @@ class NewmarkStepper:
             jnp.float64(self.current_dt),
             jnp.float64(tolerance),
             jnp.int32(self.solver_settings.max_iterations),
+            preconditioner=self._precond,
         )
         self.state = out.state
         pcg = jax.device_get(out.pcg)

@@ -360,3 +360,32 @@ def _fused_interpret(ops_mod, psten, model, x, scale, mf):
         free = 1.0 - model.bc_mask[plane_sl].astype(jnp.float32)
         out = out.at[plane_sl].add(-ss * corr * free)
     return out
+
+
+def test_pcg_nonzero_dirichlet_targets_structured():
+    """PCG on the structured path with NONZERO Dirichlet targets: the
+    solution must carry the targets exactly on constrained axes (the
+    reference's per-axis value contract, config.cpp:500-567)."""
+    cfg = cantilever_config(traction=-1.0e6)
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    model, force = build_structured_model(
+        6, 4, 3, mats[0], cfg.materials[0].density,
+        traction=(0.0, 0.0, -1.0e6),
+        fixes=[("x0", (True, True, True), (1.0e-4, None, -2.0e-4))],
+    )
+    ss, mf = np.float32(1.0), np.float32(4.0e6)
+    rhs = jnp.where(model.bc_mask, model.bc_value, force)
+    x0 = jnp.zeros(model.vector_shape, jnp.float32)
+    solve = jax.jit(
+        lambda m, r, x: solve_pcg(m, r, ss, mf, 1.0e-8, 500, x,
+                                  warm_start=False)
+    )
+    x_ref, tel_ref = solve(model, rhs, x0)
+    assert bool(tel_ref.converged)
+    bc = np.asarray(model.bc_mask)
+    np.testing.assert_array_equal(
+        np.asarray(x_ref)[bc], np.asarray(rhs)[bc]
+    )
+    vals = np.asarray(model.bc_value)[:, 0]  # the x0 plane targets
+    assert float(vals[0].max()) == pytest.approx(1.0e-4)
+    assert float(vals[2].min()) == pytest.approx(-2.0e-4)
