@@ -138,6 +138,35 @@ def restrict(x: jax.Array) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
+def _restrict_axis_np(x: np.ndarray, axis: int) -> np.ndarray:
+    """Host-side twin of :func:`_restrict_axis` (pinned equal by test).
+
+    The hierarchy build runs once on the host; routing these few tiny ops
+    through the accelerator cost ~270 s of per-op compiles on the TPU
+    relay (each unique eager op shape compiles) for microseconds of math.
+    """
+    f = x.shape[axis]
+    c = (f + 1) // 2
+    pad = 2 * c - f
+    if pad:
+        width = [(0, 0)] * x.ndim
+        width[axis] = (0, pad)
+        x = np.pad(x, width)
+    shape = list(x.shape)
+    shape[axis] = c
+    shape.insert(axis + 1, 2)
+    xr = x.reshape(shape)
+    even = np.take(xr, 0, axis=axis + 1)
+    odd = np.take(xr, 1, axis=axis + 1)
+    odd_prev = np.zeros_like(odd)
+    src = [slice(None)] * odd.ndim
+    dst = [slice(None)] * odd.ndim
+    src[axis] = slice(0, c - 1)
+    dst[axis] = slice(1, c)
+    odd_prev[tuple(dst)] = odd[tuple(src)]
+    return even + 0.5 * (odd + odd_prev)
+
+
 def _coarsen_model(model: StructuredModel) -> StructuredModel | None:
     """One vertex-centered coarse level of a homogeneous structured model."""
     fx, fy, fz = model.grid_shape
@@ -151,17 +180,22 @@ def _coarsen_model(model: StructuredModel) -> StructuredModel | None:
 
     # coarse lumped mass = P^T m_f (conserves total mass; equals the
     # rediscretized rho*(2h)^3/8-per-corner value in the interior)
-    mass_c = np.asarray(restrict(jnp.asarray(model.mass_grid)[None]))[0]
+    mass_c = np.asarray(model.mass_grid, np.float64)
+    for ax in range(3):
+        mass_c = _restrict_axis_np(mass_c, ax)
 
     hx, hy, hz = model.spacing
     nxc, nyc, nzc = cx - 1, cy - 1, cz - 1
+    # numpy leaves throughout — every eager jnp.full/zeros here compiled a
+    # tiny program on the TPU relay (~400 s for a 4-level hierarchy);
+    # attach_multigrid bulk-device_puts the finished levels in one shot
     return StructuredModel(
-        lam_grid=jnp.full((nxc, nyc, nzc), model.lam0, jnp.float32),
-        mu_grid=jnp.full((nxc, nyc, nzc), model.mu0, jnp.float32),
-        mass_grid=jnp.asarray(mass_c, jnp.float32),
-        bc_mask=jnp.asarray(bc_c),
-        bc_value=jnp.zeros((3, cx, cy, cz), jnp.float32),
-        position0=jnp.zeros((1, 3), jnp.float32),  # never consumed
+        lam_grid=np.full((nxc, nyc, nzc), model.lam0, np.float32),
+        mu_grid=np.full((nxc, nyc, nzc), model.mu0, np.float32),
+        mass_grid=np.asarray(mass_c, np.float32),
+        bc_mask=np.ascontiguousarray(bc_c),
+        bc_value=np.zeros((3, cx, cy, cz), np.float32),
+        position0=np.zeros((1, 3), np.float32),  # never consumed
         nx=nxc,
         ny=nyc,
         nz=nzc,
@@ -184,12 +218,18 @@ def _estimate_lambda_max(model: StructuredModel) -> float:
     Runs on the CPU backend when one is available: every power-iterated
     level is <= _POWER_MAX_NODES nodes (trivial compute), but each level
     needs its own jit compile, and per-level TPU compiles dominated the
-    hierarchy build (~190 s at 945k DOF measured; ~2 s on CPU).
+    hierarchy build (~190 s at 945k DOF measured; ~2 s on CPU).  The
+    level's arrays are bulk device_put to the CPU first — otherwise every
+    eager op in the block-inverse build pulls accelerator-resident inputs
+    through the relay one RPC at a time (measured 600+ s at 945k).
     """
     try:
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         cpu = None
+
+    if cpu is not None:
+        model = jax.device_put(model, cpu)
 
     def _run():
         from . import structured as _ops
@@ -267,9 +307,12 @@ def attach_multigrid(model: StructuredModel) -> StructuredModel:
     omegas = tuple(
         1.0 / (_SAFETY * max(lam, 1.0)) for lam in lambdas
     )
+    # one bulk transfer of the numpy-built hierarchy onto the default
+    # device (no per-array eager compiles on the relay)
+    levels_dev = jax.device_put(tuple(levels))
     return dataclasses.replace(
         model,
-        mg_levels=tuple(levels),
+        mg_levels=levels_dev,
         mg_omegas=omegas,
         preconditioner="multigrid",
     )

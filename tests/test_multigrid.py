@@ -249,3 +249,16 @@ def test_scaled_block_inverse_survives_coarse_magnitudes():
     inv = np.asarray(inv)
     assert np.isfinite(inv).all()
     assert (inv[:3] > 0).all()  # SPD: positive diagonal entries
+
+
+def test_numpy_restrict_matches_jax_restrict(rng):
+    """The host-side restriction twin used by the hierarchy build
+    (_restrict_axis_np) must equal the device transfer operator exactly
+    (it defines the coarse lumped mass = P^T m_f)."""
+    for shape in [(1, 9, 7, 6), (1, 8, 8, 8), (3, 5, 11, 4)]:
+        x = rng.standard_normal(shape)
+        ref = np.asarray(mg.restrict(jnp.asarray(x)))
+        got = np.asarray(x, np.float64)
+        for ax in range(3):
+            got = mg._restrict_axis_np(got, 1 + ax)
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-12)
