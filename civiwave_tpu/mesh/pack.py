@@ -84,27 +84,27 @@ class PackedModel:
     ``concat(tet_forces.reshape(T*x4, 3), hex_forces.reshape(H*x8, 3))``.
     """
 
-    # Element tables are stored FLAT 1-D: TPU tiles pad the minor dimension
-    # to 128 lanes, so (H, 8)/(H, 8, 8, 3)-shaped storage expands 16-42x in
-    # HBM at rest (25 GB for a 5M-DOF box on a 16 GB chip); flat arrays
-    # carry zero padding and the ops reshape per lax.map chunk.
+    # Element tables keep natural row shapes (streamed sequentially by the
+    # chunked operators; ops/apply_keff.py's layout lesson records the
+    # measured dead ends: flat-1-D scalar gathers and on-device gradient
+    # recompute were both slower than streaming stored tables).
     # tet block (single quadrature point, constant gradients)
-    conn_tet: jax.Array  # (T* * 4,) int32
-    grads_tet: jax.Array  # (T* * 12,) f32 — (elem, node, axis) row-major
+    conn_tet: jax.Array  # (T*, 4) int32
+    grads_tet: jax.Array  # (T*, 4, 3) f32
     vol_tet: jax.Array  # (T*,) f32
     lam_tet: jax.Array  # (T*,) f32
     mu_tet: jax.Array  # (T*,) f32
     mat_tet: jax.Array  # (T*,) int32
     # hex block (2x2x2 Gauss)
-    conn_hex: jax.Array  # (H* * 8,) int32
-    grads_hex: jax.Array  # (H* * 192,) f32 — (elem, gp, node, axis)
-    vol_hex: jax.Array  # (H* * 8,) f32 — detJ per gp
+    conn_hex: jax.Array  # (H*, 8) int32
+    grads_hex: jax.Array  # (H*, 8gp, 8l, 3) f32
+    vol_hex: jax.Array  # (H*, 8) f32 — detJ per gp
     lam_hex: jax.Array  # (H*,) f32
     mu_hex: jax.Array  # (H*,) f32
     mat_hex: jax.Array  # (H*,) int32
     # gather-based assembly (dual CSR, fixed max degree D = csr_degree)
-    csr_idx: jax.Array  # (N* * D,) int32 — rows of the force-row array
-    csr_weight: jax.Array  # (N* * D,) f32 — 1 for real incidences, 0 for pads
+    csr_idx: jax.Array  # (N*, D) int32 — rows of the force-row array
+    csr_weight: jax.Array  # (N*, D) f32 — 1 for real incidences, 0 for pads
     # per node
     position0: jax.Array  # (N*, 3) f32
     lumped_mass: jax.Array  # (N*,) f32
@@ -358,20 +358,20 @@ def build_packed_model(
     )
 
     model = PackedModel(
-        conn_tet=jnp.asarray(conn_tet.reshape(-1)),
-        grads_tet=jnp.asarray(grads_tet.reshape(-1)),
+        conn_tet=jnp.asarray(conn_tet),
+        grads_tet=jnp.asarray(grads_tet),
         vol_tet=jnp.asarray(vol_tet),
         lam_tet=jnp.asarray(lam_tet),
         mu_tet=jnp.asarray(mu_tet),
         mat_tet=jnp.asarray(mat_tet),
-        conn_hex=jnp.asarray(conn_hex.reshape(-1)),
-        grads_hex=jnp.asarray(grads_hex.reshape(-1)),
-        vol_hex=jnp.asarray(vol_hex.reshape(-1)),
+        conn_hex=jnp.asarray(conn_hex),
+        grads_hex=jnp.asarray(grads_hex),
+        vol_hex=jnp.asarray(vol_hex),
         lam_hex=jnp.asarray(lam_hex),
         mu_hex=jnp.asarray(mu_hex),
         mat_hex=jnp.asarray(mat_hex),
-        csr_idx=jnp.asarray(csr_idx.reshape(-1)),
-        csr_weight=jnp.asarray(csr_weight.reshape(-1)),
+        csr_idx=jnp.asarray(csr_idx),
+        csr_weight=jnp.asarray(csr_weight),
         position0=jnp.asarray(position0),
         lumped_mass=jnp.asarray(lumped_mass),
         bc_mask=jnp.asarray(bc_mask),

@@ -22,18 +22,29 @@ core GPU-assembly idea, docs/spec.md:35):
    (ke_gather_node.slang's CSR loop, vectorized to a fixed-degree padded
    table) — measured ~8x faster than segment_sum scatter on TPU v5e.
 
-**Memory at scale (the 5M-DOF lesson).**  TPU tiles pad the minor array
-dimension to 128 lanes, so element tables and temporaries shaped (..., 8)
-or (..., 3, 3) expand 16-42x in HBM — at 1.6M hexes the einsum
-intermediates alone demanded 25 GB on a 16 GB chip.  Two rules keep the
-general path scaling:
+**Memory and layout at scale (the 5M-DOF and 2M-DOF lessons).**  Two
+rules keep the general path scaling AND fast:
 
-* model tables are stored FLAT 1-D (pack.py) — zero padding at rest — and
-  reshaped per chunk;
-* element forces and node assembly evaluate in fixed-size ``lax.map``
-  chunks (gather included), capping every padded temporary at a few
-  hundred MB regardless of mesh size.  Identical math and summation order
+* element forces and node assembly evaluate in fixed-size chunks (gather
+  included), capping every padded einsum temporary at a few hundred MB
+  regardless of mesh size — at 1.6M hexes the unchunked intermediates
+  demanded 25 GB on a 16 GB chip.  Identical math and summation order
   (chunks pin bit-equal results in tests).
+* tables keep their natural 2-D/3-D row shapes — connectivity ``(H*, 8)``,
+  CSR ``(N*, D)``, force rows ``(R, 3)`` — so every gather is a ROW gather
+  (``x[conn]``, ``rows[csr_idx]``), which XLA lowers to fast sublane
+  gathers.  An intermediate revision stored everything flat 1-D and
+  gathered scalars through computed indices (``rows_flat[idx * 3 + c]``);
+  that lowered to scalar gathers and measured 241 ms/matvec at 2.19M DOF
+  on v5e (~20x regression) — row-shaped gathers restored it.
+* the hex gradient/volume tables STAY stored (768 B/hex): an on-device
+  recompute from gathered corner coordinates was built and measured —
+  93 vs 47.7 ms/matvec at 945k DOF — because it trades a SEQUENTIAL
+  table stream (~0.3 ms at 945k) for a second random row gather
+  (~13 ms) plus ~3k VPU flops/hex of Jacobian math on heavily
+  lane-padded (minor-dim 3) tensors.  Tables win on runtime; the
+  measured per-piece budget at 945k is ~13 ms per row gather (x and
+  CSR), ~15-20 ms of element einsums, ~17 ms assembly.
 
 Semantics preserved exactly (pcg.cpp:530-686):
 * input is sanitized — constrained components read as zero;
@@ -52,6 +63,8 @@ from ..mesh.pack import PackedModel
 _HEX_CHUNK = 131072
 _TET_CHUNK = 262144
 _NODE_CHUNK = 131072
+
+
 
 
 
@@ -75,12 +88,12 @@ def _stress(g_tensor: jax.Array, lam: jax.Array, mu: jax.Array) -> jax.Array:
     )
 
 
-def _map_chunks(body, flat_args, count: int, target_chunk: int):
-    """Run ``body`` over power-of-two chunks of equally-indexed flat arrays.
+def _map_chunks(body, args, count: int, target_chunk: int):
+    """Run ``body`` over chunks of equally-indexed arrays (leading axis).
 
-    flat_args: list of (array, items_per_element).  body receives per-chunk
-    arrays of shape (chunk * per,) and must return a flat (chunk * out_per,)
-    array; chunk results are concatenated flat.
+    args: arrays whose leading axis is ``count``.  body receives per-chunk
+    slices and returns an array whose leading axis is the chunk size;
+    results concatenate along the leading axis.
 
     Chunks are unrolled at trace time with STATIC slices, not lax.map: the
     while-loop form measured ~10 ms of fixed overhead per chunk iteration
@@ -90,99 +103,76 @@ def _map_chunks(body, flat_args, count: int, target_chunk: int):
     specializations trace).
     """
     if count <= target_chunk:
-        return body(*(a for a, _ in flat_args))
+        return body(*args)
     outs = []
     for start in range(0, count, target_chunk):
         stop = min(start + target_chunk, count)
-        outs.append(
-            body(*(a[start * per : stop * per] for a, per in flat_args))
-        )
+        outs.append(body(*(a[start:stop] for a in args)))
     return jnp.concatenate(outs)
 
 
 def tet_forces(model: PackedModel, x_sanitized: jax.Array, stiffness_scale) -> jax.Array:
-    """(T* * 12,) flat local node forces for the tet block."""
-    t = model.padded_tet_count
+    """(T* * 4, 3) local node force rows for the tet block."""
 
-    def body(conn_f, grads_f, vol, lam, mu):
-        u_e = x_sanitized[conn_f.reshape(-1, 4)]  # (c, 4, 3)
-        grads = grads_f.reshape(-1, 4, 3)
+    def body(conn, grads, vol, lam, mu):
+        u_e = x_sanitized[conn]  # (c, 4, 3)
         g_tensor = jnp.einsum("tla,tlb->tab", grads, u_e)
         stress = _stress(g_tensor, lam, mu)
         scale = (vol * stiffness_scale)[:, None, None]
-        return (scale * jnp.einsum("tla,tab->tlb", grads, stress)).reshape(-1)
+        return (scale * jnp.einsum("tla,tab->tlb", grads, stress)).reshape(-1, 3)
 
     return _map_chunks(
         body,
-        [
-            (model.conn_tet, 4),
-            (model.grads_tet, 12),
-            (model.vol_tet, 1),
-            (model.lam_tet, 1),
-            (model.mu_tet, 1),
-        ],
-        t,
+        (model.conn_tet, model.grads_tet, model.vol_tet,
+         model.lam_tet, model.mu_tet),
+        model.padded_tet_count,
         _TET_CHUNK,
     )
 
 
 def hex_forces(model: PackedModel, x_sanitized: jax.Array, stiffness_scale) -> jax.Array:
-    """(H* * 24,) flat gp-reduced local node forces for the hex block."""
-    h = model.padded_hex_count
+    """(H* * 8, 3) gp-reduced local node force rows for the hex block."""
 
-    def body(conn_f, grads_f, vol_f, lam, mu):
-        u_e = x_sanitized[conn_f.reshape(-1, 8)]  # (c, 8, 3) — one gather, all gps
-        grads = grads_f.reshape(-1, 8, 8, 3)
-        vol = vol_f.reshape(-1, 8)
+    def body(conn, grads, vol, lam, mu):
+        u_e = x_sanitized[conn]  # (c, 8, 3) — one gather, all gps
         g_tensor = jnp.einsum("hgla,hlb->hgab", grads, u_e)
         stress = _stress(g_tensor, lam[:, None], mu[:, None])  # (c, 8gp, 3, 3)
         weighted = (vol * stiffness_scale)[:, :, None, None] * stress
         # f_l = sum_g V_g grad_gla S_gab — gp reduction fused into the einsum
-        return jnp.einsum("hgla,hgab->hlb", grads, weighted).reshape(-1)
+        return jnp.einsum("hgla,hgab->hlb", grads, weighted).reshape(-1, 3)
 
     return _map_chunks(
         body,
-        [
-            (model.conn_hex, 8),
-            (model.grads_hex, 192),
-            (model.vol_hex, 8),
-            (model.lam_hex, 1),
-            (model.mu_hex, 1),
-        ],
-        h,
+        (model.conn_hex, model.grads_hex, model.vol_hex,
+         model.lam_hex, model.mu_hex),
+        model.padded_hex_count,
         _HEX_CHUNK,
     )
 
 
-def assemble(model: PackedModel, rows_flat: jax.Array) -> jax.Array:
+def assemble(model: PackedModel, rows: jax.Array) -> jax.Array:
     """Per-node gather-sum over the dual CSR (ke_gather_node analogue).
 
-    rows_flat: (R * 3,) concatenated tet + hex force rows, flat; row r's
-    component c lives at 3r + c.
+    rows: (R, 3) concatenated tet + hex force rows (row gathers — see the
+    module docstring's layout lesson).
     """
-    n = model.padded_node_count
-    d = model.csr_degree
 
-    def body(idx_f, w_f):
-        idx = idx_f.reshape(-1, d)
-        comp = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 3), 2)
-        gathered = rows_flat[idx[:, :, None] * 3 + comp]  # (c, D, 3)
-        w = w_f.reshape(-1, d)
-        return jnp.sum(gathered * w[..., None], axis=1).reshape(-1)
+    def body(idx, w):
+        gathered = rows[idx]  # (c, D, 3)
+        return jnp.sum(gathered * w[..., None], axis=1)
 
-    out = _map_chunks(
+    return _map_chunks(
         body,
-        [(model.csr_idx, d), (model.csr_weight, d)],
-        n,
+        (model.csr_idx, model.csr_weight),
+        model.padded_node_count,
         _NODE_CHUNK,
     )
-    return out.reshape(n, 3)
 
 
 def element_force_rows(
     model: PackedModel, x_sanitized: jax.Array, stiffness_scale
 ) -> jax.Array:
-    """(R * 3,) flat concatenated force rows from both element blocks."""
+    """(R, 3) concatenated force rows from both element blocks."""
     parts = []
     if model.padded_tet_count:
         parts.append(tet_forces(model, x_sanitized, stiffness_scale))

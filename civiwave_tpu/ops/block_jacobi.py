@@ -53,74 +53,59 @@ def assemble_node_blocks(
 
     Chunked like the matvec (ops/apply_keff.py): the per-element block
     temporaries carry (..., 3, 3) minor dims that lane-pad up to 42x, so
-    they evaluate in fixed-size lax.map chunks over the flat tables.
+    they evaluate in fixed-size chunks over the row-shaped tables.
     """
     from .apply_keff import _HEX_CHUNK, _NODE_CHUNK, _TET_CHUNK, _map_chunks
 
     parts = []
     if model.padded_tet_count:
 
-        def tet_body(grads_f, vol, lam, mu):
+        def tet_body(grads, vol, lam, mu):
             blocks = _local_blocks(
-                grads_f.reshape(-1, 4, 3), vol * stiffness_scale, lam, mu
+                grads, vol * stiffness_scale, lam, mu
             )  # (c, 4, 3, 3)
-            return blocks.reshape(-1)
+            return blocks.reshape(-1, 3, 3)
 
         parts.append(
             _map_chunks(
                 tet_body,
-                [
-                    (model.grads_tet, 12),
-                    (model.vol_tet, 1),
-                    (model.lam_tet, 1),
-                    (model.mu_tet, 1),
-                ],
+                (model.grads_tet, model.vol_tet, model.lam_tet, model.mu_tet),
                 model.padded_tet_count,
                 _TET_CHUNK,
             )
         )
     if model.padded_hex_count:
 
-        def hex_body(grads_f, vol_f, lam, mu):
+        def hex_body(grads, vol, lam, mu):
             blocks = _local_blocks(
-                grads_f.reshape(-1, 8, 8, 3),
-                vol_f.reshape(-1, 8) * stiffness_scale,
+                grads,
+                vol * stiffness_scale,
                 lam[:, None],
                 mu[:, None],
             )  # (c, 8gp, 8l, 3, 3)
-            return blocks.sum(axis=1).reshape(-1)  # gp reduce
+            return blocks.sum(axis=1).reshape(-1, 3, 3)  # gp reduce
 
         parts.append(
             _map_chunks(
                 hex_body,
-                [
-                    (model.grads_hex, 192),
-                    (model.vol_hex, 8),
-                    (model.lam_hex, 1),
-                    (model.mu_hex, 1),
-                ],
+                (model.grads_hex, model.vol_hex,
+                 model.lam_hex, model.mu_hex),
                 model.padded_hex_count,
                 _HEX_CHUNK,
             )
         )
-    rows_flat = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    rows = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
-    n = model.padded_node_count
-    d = model.csr_degree
-
-    def gather_body(idx_f, w_f):
-        idx = idx_f.reshape(-1, d)
-        comp = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 9), 2)
-        gathered = rows_flat[idx[:, :, None] * 9 + comp]  # (c, D, 9)
-        w = w_f.reshape(-1, d)
-        return jnp.sum(gathered * w[..., None], axis=1).reshape(-1)
+    def gather_body(idx, w):
+        gathered = rows[idx]  # (c, D, 3, 3) — row gathers (layout lesson)
+        return jnp.sum(gathered * w[..., None, None], axis=1)
 
     summed = _map_chunks(
         gather_body,
-        [(model.csr_idx, d), (model.csr_weight, d)],
-        n,
+        (model.csr_idx, model.csr_weight),
+        model.padded_node_count,
         _NODE_CHUNK,
-    ).reshape(n, 3, 3)
+    )
 
     mass = (mass_factor * model.lumped_mass)[:, None, None] * jnp.eye(
         3, dtype=summed.dtype

@@ -35,9 +35,15 @@ def test_padded_sizing_and_noop_padding(packed):
     bc = np.asarray(model.bc_mask)
     assert bc[model.node_count :].all()
     assert (np.asarray(model.lumped_mass)[model.node_count :] == 0).all()
-    # padded hex rows: zero volume => zero force contribution
-    vol = np.asarray(model.vol_hex).reshape(model.padded_hex_count, 8)
+    # padded hex rows: node-0 conn, zero volume => zero force contribution
+    conn = np.asarray(model.conn_hex)
+    assert (conn[model.hex_count :] == 0).all()
+    vol = np.asarray(model.vol_hex)
     assert (vol[model.hex_count :] == 0).all()
+    # real rows: gp volumes sum to the cell volume (unit box cells)
+    np.testing.assert_allclose(
+        vol[: model.hex_count].sum(axis=1), 1.0, rtol=1e-5
+    )
 
 
 def test_csr_weights_cover_exactly_real_incidences(packed):
@@ -116,3 +122,21 @@ def test_mesh_requests_beyond_devices_fail():
 
     with pytest.raises(ShardError, match="more devices"):
         make_device_mesh(10_000)
+
+
+def test_hex_tables_match_host_preprocess(packed):
+    """The packed per-gp gradient/volume tables are the host preprocess
+    values, f32-clamped, in (H*, 8gp, 8l, 3) / (H*, 8) row shapes."""
+    model, *_ = packed
+    cfg = cantilever_config()
+    mesh = box_mesh(2, 2, 2, hex_elements=True)
+    pre = preprocess.run(mesh, cfg)
+    h = model.hex_count
+    np.testing.assert_array_equal(
+        np.asarray(model.grads_hex)[:h],
+        clamp_to_f32(pre.quad_gradients.reshape(h, 8, 8, 3)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(model.vol_hex)[:h],
+        clamp_to_f32(pre.quad_volume.reshape(h, 8)),
+    )

@@ -46,7 +46,7 @@ def test_sharded_arrays_land_on_all_devices(eight_device_mesh):
     s_model, s_state, s_force = shard_simulation(
         model, state, force, eight_device_mesh
     )
-    assert len(s_model.grads_hex.sharding.device_set) == 8
+    assert len(s_model.conn_hex.sharding.device_set) == 8
     assert len(s_state.displacement.sharding.device_set) == 8
     assert len(s_force.sharding.device_set) == 8
     # data integrity after resharding
