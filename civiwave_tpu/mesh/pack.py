@@ -95,10 +95,15 @@ class PackedModel:
     lam_tet: jax.Array  # (T*,) f32
     mu_tet: jax.Array  # (T*,) f32
     mat_tet: jax.Array  # (T*,) int32
-    # hex block (2x2x2 Gauss)
+    # hex block (2x2x2 Gauss).  The gradient/volume tables are stored
+    # GP-MAJOR TRANSPOSED — (8gp, 8l, 3, H*) / (8gp, H*) — so the
+    # scalar-component operator (ops/apply_keff.hex_forces) slices
+    # contiguous (H*,) component streams; element-major (H*, 8, 8, 3)
+    # storage would turn each of the 192 component reads into a
+    # 768-byte-stride scatter of 4-byte loads.
     conn_hex: jax.Array  # (H*, 8) int32
-    grads_hex: jax.Array  # (H*, 8gp, 8l, 3) f32
-    vol_hex: jax.Array  # (H*, 8) f32 — detJ per gp
+    grads_hex: jax.Array  # (8gp, 8l, 3, H*) f32
+    vol_hex: jax.Array  # (8gp, H*) f32 — detJ per gp
     lam_hex: jax.Array  # (H*,) f32
     mu_hex: jax.Array  # (H*,) f32
     mat_hex: jax.Array  # (H*,) int32
@@ -331,18 +336,20 @@ def build_packed_model(
         mu_tet[:t] = clamp_to_f32(mu_np[mat_idx])
 
     conn_hex = np.zeros((h_pad, 8), dtype=np.int32)
-    grads_hex = np.zeros((h_pad, 8, 8, 3), dtype=np.float32)
-    vol_hex = np.zeros((h_pad, 8), dtype=np.float32)
+    grads_hex = np.zeros((8, 8, 3, h_pad), dtype=np.float32)
+    vol_hex = np.zeros((8, h_pad), dtype=np.float32)
     lam_hex = np.zeros(h_pad, dtype=np.float32)
     mu_hex = np.zeros(h_pad, dtype=np.float32)
     mat_hex = np.zeros(h_pad, dtype=np.int32)
     if h:
         rows = preprocess.quad_connectivity[t:].reshape(h, 8, 8)
         conn_hex[:h] = np.where(rows[:, 0] == SENTINEL, 0, rows[:, 0])
-        grads_hex[:h] = clamp_to_f32(
+        grads_hex[:, :, :, :h] = clamp_to_f32(
             preprocess.quad_gradients[t:].reshape(h, 8, 8, 3)
-        )
-        vol_hex[:h] = clamp_to_f32(preprocess.quad_volume[t:].reshape(h, 8))
+        ).transpose(1, 2, 3, 0)
+        vol_hex[:, :h] = clamp_to_f32(
+            preprocess.quad_volume[t:].reshape(h, 8)
+        ).T
         mat_idx = preprocess.quad_material_index[t:].reshape(h, 8)[:, 0]
         mat_hex[:h] = mat_idx
         lam_hex[:h] = clamp_to_f32(lam_np[mat_idx])

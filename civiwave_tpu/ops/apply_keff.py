@@ -22,14 +22,21 @@ core GPU-assembly idea, docs/spec.md:35):
    (ke_gather_node.slang's CSR loop, vectorized to a fixed-degree padded
    table) — measured ~8x faster than segment_sum scatter on TPU v5e.
 
-**Memory and layout at scale (the 5M-DOF and 2M-DOF lessons).**  Two
-rules keep the general path scaling AND fast:
+**Memory and layout at scale (the 5M-DOF and 2M-DOF lessons, ADR-18).**
+Three rules keep the general path scaling AND fast:
 
-* element forces and node assembly evaluate in fixed-size chunks (gather
-  included), capping every padded einsum temporary at a few hundred MB
-  regardless of mesh size — at 1.6M hexes the unchunked intermediates
-  demanded 25 GB on a 16 GB chip.  Identical math and summation order
-  (chunks pin bit-equal results in tests).
+* big per-element temporaries are bounded by splitting along SMALL STATIC
+  axes, not by chunking the element axis: the hex force phase unrolls the
+  8 Gauss points (per-gp intermediates are (H, 3, 3) — ~1.4 KB/hex
+  lane-padded instead of ~11 KB/hex for the all-gp tensors that demanded
+  25 GB at 1.6M hexes), and assembly unrolls the D CSR neighbor slots
+  (per-slot gather fuses into its multiply-add).  Chunking the ELEMENT
+  axis was tried three ways and all failed on XLA:TPU: unrolled static
+  chunks sent the compiler pathological (a 6-chunk 945k matvec graph did
+  not finish compiling in 40 min; 18 s for one chunk; CPU compiled the
+  same HLO in 0.9 s), and both the lax.scan and fori_loop/dynamic-slice
+  chunk engines compiled but CRASHED the TPU worker at execution,
+  reproducibly.
 * tables keep their natural 2-D/3-D row shapes — connectivity ``(H*, 8)``,
   CSR ``(N*, D)``, force rows ``(R, 3)`` — so every gather is a ROW gather
   (``x[conn]``, ``rows[csr_idx]``), which XLA lowers to fast sublane
@@ -60,13 +67,6 @@ import jax.numpy as jnp
 
 from ..mesh.pack import PackedModel
 
-_HEX_CHUNK = 131072
-_TET_CHUNK = 262144
-_NODE_CHUNK = 131072
-
-
-
-
 
 
 def sanitize(model: PackedModel, x: jax.Array) -> jax.Array:
@@ -88,85 +88,83 @@ def _stress(g_tensor: jax.Array, lam: jax.Array, mu: jax.Array) -> jax.Array:
     )
 
 
-def _map_chunks(body, args, count: int, target_chunk: int):
-    """Run ``body`` over chunks of equally-indexed arrays (leading axis).
-
-    args: arrays whose leading axis is ``count``.  body receives per-chunk
-    slices and returns an array whose leading axis is the chunk size;
-    results concatenate along the leading axis.
-
-    Chunks are unrolled at trace time with STATIC slices, not lax.map: the
-    while-loop form measured ~10 ms of fixed overhead per chunk iteration
-    (945k DOF matvec: 47.6 -> 153 ms with only 10 chunks); unrolled static
-    slices keep straight-line XLA with the same bounded temporaries.  The
-    last chunk may be shorter (shapes stay static — at most two body
-    specializations trace).
-    """
-    if count <= target_chunk:
-        return body(*args)
-    outs = []
-    for start in range(0, count, target_chunk):
-        stop = min(start + target_chunk, count)
-        outs.append(body(*(a[start:stop] for a in args)))
-    return jnp.concatenate(outs)
-
-
 def tet_forces(model: PackedModel, x_sanitized: jax.Array, stiffness_scale) -> jax.Array:
     """(T* * 4, 3) local node force rows for the tet block."""
-
-    def body(conn, grads, vol, lam, mu):
-        u_e = x_sanitized[conn]  # (c, 4, 3)
-        g_tensor = jnp.einsum("tla,tlb->tab", grads, u_e)
-        stress = _stress(g_tensor, lam, mu)
-        scale = (vol * stiffness_scale)[:, None, None]
-        return (scale * jnp.einsum("tla,tab->tlb", grads, stress)).reshape(-1, 3)
-
-    return _map_chunks(
-        body,
-        (model.conn_tet, model.grads_tet, model.vol_tet,
-         model.lam_tet, model.mu_tet),
-        model.padded_tet_count,
-        _TET_CHUNK,
-    )
+    u_e = x_sanitized[model.conn_tet]  # (T, 4, 3)
+    grads = model.grads_tet
+    g_tensor = jnp.einsum("tla,tlb->tab", grads, u_e)
+    stress = _stress(g_tensor, model.lam_tet, model.mu_tet)
+    scale = (model.vol_tet * stiffness_scale)[:, None, None]
+    return (scale * jnp.einsum("tla,tab->tlb", grads, stress)).reshape(-1, 3)
 
 
 def hex_forces(model: PackedModel, x_sanitized: jax.Array, stiffness_scale) -> jax.Array:
-    """(H* * 8, 3) gp-reduced local node force rows for the hex block."""
+    """(H* * 8, 3) gp-reduced local node force rows for the hex block.
 
-    def body(conn, grads, vol, lam, mu):
-        u_e = x_sanitized[conn]  # (c, 8, 3) — one gather, all gps
-        g_tensor = jnp.einsum("hgla,hlb->hgab", grads, u_e)
-        stress = _stress(g_tensor, lam[:, None], mu[:, None])  # (c, 8gp, 3, 3)
-        weighted = (vol * stiffness_scale)[:, :, None, None] * stress
-        # f_l = sum_g V_g grad_gla S_gab — gp reduction fused into the einsum
-        return jnp.einsum("hgla,hgab->hlb", grads, weighted).reshape(-1, 3)
-
-    return _map_chunks(
-        body,
-        (model.conn_hex, model.grads_hex, model.vol_hex,
-         model.lam_hex, model.mu_hex),
-        model.padded_hex_count,
-        _HEX_CHUNK,
-    )
+    SCALAR-COMPONENT form: every quantity is an (H,)-shaped component
+    stream — the displacement-gradient/stress tensor components, the
+    per-node force components — combined with statically-unrolled sums
+    over Gauss points, local nodes and axes.  No (..., 3, 3)- or
+    (..., 8, 3)-minor-dim intermediate ever materializes, so there is no
+    lane-padding blowup (the all-gp einsum form demanded 25 GB of padded
+    intermediates at 1.6M hexes) and XLA fuses the whole phase into a
+    few full-lane elementwise kernels.  The gradient table is stored
+    gp-major transposed so each of the 192 component reads is a
+    contiguous (H,) stream."""
+    u_e = jnp.transpose(
+        x_sanitized[model.conn_hex], (1, 2, 0)
+    )  # (8l, 3, H) — one row gather + one relayout
+    u = [[u_e[l, b] for b in range(3)] for l in range(8)]
+    lam, mu = model.lam_hex, model.mu_hex
+    f = [[None] * 3 for _ in range(8)]
+    for g in range(8):
+        gr = [
+            [model.grads_hex[g, l, a] for a in range(3)] for l in range(8)
+        ]
+        vs = model.vol_hex[g] * stiffness_scale
+        # G_ab = sum_l dN_la u_lb  (displacement gradient)
+        G = [
+            [
+                sum(gr[l][a] * u[l][b] for l in range(8))
+                for b in range(3)
+            ]
+            for a in range(3)
+        ]
+        tr = G[0][0] + G[1][1] + G[2][2]
+        # S_ab = V_g s (lam tr d_ab + mu (G_ab + G_ba))
+        S = [
+            [
+                vs
+                * (
+                    mu * (G[a][b] + G[b][a])
+                    + (lam * tr if a == b else 0.0)
+                )
+                for b in range(3)
+            ]
+            for a in range(3)
+        ]
+        for l in range(8):
+            for b in range(3):
+                contrib = sum(gr[l][a] * S[a][b] for a in range(3))
+                f[l][b] = contrib if f[l][b] is None else f[l][b] + contrib
+    out = jnp.stack(
+        [jnp.stack(fl, axis=-1) for fl in f], axis=1
+    )  # (H, 8l, 3)
+    return out.reshape(-1, 3)
 
 
 def assemble(model: PackedModel, rows: jax.Array) -> jax.Array:
     """Per-node gather-sum over the dual CSR (ke_gather_node analogue).
 
     rows: (R, 3) concatenated tet + hex force rows (row gathers — see the
-    module docstring's layout lesson).
-    """
-
-    def body(idx, w):
-        gathered = rows[idx]  # (c, D, 3)
-        return jnp.sum(gathered * w[..., None], axis=1)
-
-    return _map_chunks(
-        body,
-        (model.csr_idx, model.csr_weight),
-        model.padded_node_count,
-        _NODE_CHUNK,
-    )
+    module docstring's layout lesson).  The neighbor-slot axis is
+    unrolled: each slot's gather fuses into its multiply-add, so nothing
+    (N*, D, 3)-shaped materializes at any mesh size."""
+    out = None
+    for d in range(model.csr_degree):
+        term = rows[model.csr_idx[:, d]] * model.csr_weight[:, d, None]
+        out = term if out is None else out + term
+    return out
 
 
 def element_force_rows(

@@ -51,61 +51,45 @@ def assemble_node_blocks(
 ) -> jax.Array:
     """Per-node 3x3 K_eff diagonal blocks, (N*, 3, 3) (pcg.cpp:270-378).
 
-    Chunked like the matvec (ops/apply_keff.py): the per-element block
-    temporaries carry (..., 3, 3) minor dims that lane-pad up to 42x, so
-    they evaluate in fixed-size chunks over the row-shaped tables.
+    Memory-bounded like the matvec (ops/apply_keff.py): the hex Gauss-
+    point axis and the CSR neighbor-slot axis are unrolled as small
+    static steps so the lane-padded (..., 3, 3) temporaries never carry
+    an extra size-8 axis.
     """
-    from .apply_keff import _HEX_CHUNK, _NODE_CHUNK, _TET_CHUNK, _map_chunks
-
     parts = []
     if model.padded_tet_count:
-
-        def tet_body(grads, vol, lam, mu):
-            blocks = _local_blocks(
-                grads, vol * stiffness_scale, lam, mu
-            )  # (c, 4, 3, 3)
-            return blocks.reshape(-1, 3, 3)
-
         parts.append(
-            _map_chunks(
-                tet_body,
-                (model.grads_tet, model.vol_tet, model.lam_tet, model.mu_tet),
-                model.padded_tet_count,
-                _TET_CHUNK,
-            )
+            _local_blocks(
+                model.grads_tet,
+                model.vol_tet * stiffness_scale,
+                model.lam_tet,
+                model.mu_tet,
+            ).reshape(-1, 3, 3)  # (T*4, 3, 3)
         )
     if model.padded_hex_count:
-
-        def hex_body(grads, vol, lam, mu):
-            blocks = _local_blocks(
-                grads,
-                vol * stiffness_scale,
-                lam[:, None],
-                mu[:, None],
-            )  # (c, 8gp, 8l, 3, 3)
-            return blocks.sum(axis=1).reshape(-1, 3, 3)  # gp reduce
-
-        parts.append(
-            _map_chunks(
-                hex_body,
-                (model.grads_hex, model.vol_hex,
-                 model.lam_hex, model.mu_hex),
-                model.padded_hex_count,
-                _HEX_CHUNK,
-            )
-        )
+        acc = None
+        for g in range(8):
+            # gp-major transposed table: (8l, 3, H) -> (H, 8l, 3) view for
+            # the block algebra (one relayout per gp; this build runs once
+            # per dt change, hoisted by the stepper)
+            grads_g = jnp.transpose(model.grads_hex[g], (2, 0, 1))
+            blocks_g = _local_blocks(
+                grads_g,
+                model.vol_hex[g] * stiffness_scale,
+                model.lam_hex,
+                model.mu_hex,
+            )  # (H, 8l, 3, 3)
+            acc = blocks_g if acc is None else acc + blocks_g
+        parts.append(acc.reshape(-1, 3, 3))
     rows = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
-    def gather_body(idx, w):
-        gathered = rows[idx]  # (c, D, 3, 3) — row gathers (layout lesson)
-        return jnp.sum(gathered * w[..., None, None], axis=1)
-
-    summed = _map_chunks(
-        gather_body,
-        (model.csr_idx, model.csr_weight),
-        model.padded_node_count,
-        _NODE_CHUNK,
-    )
+    summed = None
+    for d in range(model.csr_degree):
+        term = (
+            rows[model.csr_idx[:, d]]
+            * model.csr_weight[:, d, None, None]
+        )
+        summed = term if summed is None else summed + term
 
     mass = (mass_factor * model.lumped_mass)[:, None, None] * jnp.eye(
         3, dtype=summed.dtype

@@ -66,8 +66,9 @@ def model_shardings(
         mu_tet=row,
         mat_tet=row,
         conn_hex=row,
-        grads_hex=row,
-        vol_hex=row,
+        # gp-major transposed tables shard their trailing element axis
+        grads_hex=NamedSharding(mesh, P(None, None, None, axis_name)),
+        vol_hex=NamedSharding(mesh, P(None, axis_name)),
         lam_hex=row,
         mu_hex=row,
         mat_hex=row,

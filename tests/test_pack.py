@@ -38,7 +38,7 @@ def test_padded_sizing_and_noop_padding(packed):
     # padded hex rows: node-0 conn, zero volume => zero force contribution
     conn = np.asarray(model.conn_hex)
     assert (conn[model.hex_count :] == 0).all()
-    vol = np.asarray(model.vol_hex)
+    vol = np.asarray(model.vol_hex).T  # (H*, 8gp) element-major view
     assert (vol[model.hex_count :] == 0).all()
     # real rows: gp volumes sum to the cell volume (unit box cells)
     np.testing.assert_allclose(
@@ -126,17 +126,21 @@ def test_mesh_requests_beyond_devices_fail():
 
 def test_hex_tables_match_host_preprocess(packed):
     """The packed per-gp gradient/volume tables are the host preprocess
-    values, f32-clamped, in (H*, 8gp, 8l, 3) / (H*, 8) row shapes."""
+    values, f32-clamped, stored GP-MAJOR TRANSPOSED — (8gp, 8l, 3, H*) /
+    (8gp, H*) — so the scalar-component operator reads contiguous (H*,)
+    component streams."""
     model, *_ = packed
     cfg = cantilever_config()
     mesh = box_mesh(2, 2, 2, hex_elements=True)
     pre = preprocess.run(mesh, cfg)
     h = model.hex_count
     np.testing.assert_array_equal(
-        np.asarray(model.grads_hex)[:h],
-        clamp_to_f32(pre.quad_gradients.reshape(h, 8, 8, 3)),
+        np.asarray(model.grads_hex)[:, :, :, :h],
+        clamp_to_f32(
+            pre.quad_gradients.reshape(h, 8, 8, 3)
+        ).transpose(1, 2, 3, 0),
     )
     np.testing.assert_array_equal(
-        np.asarray(model.vol_hex)[:h],
-        clamp_to_f32(pre.quad_volume.reshape(h, 8)),
+        np.asarray(model.vol_hex)[:, :h],
+        clamp_to_f32(pre.quad_volume.reshape(h, 8)).T,
     )

@@ -232,3 +232,40 @@ def test_fp32_reduction_precision_converges():
     np.testing.assert_allclose(
         np.asarray(sol32), np.asarray(sol64), atol=1e-4 * ref
     )
+
+
+def test_unrolled_hex_forces_match_allgp_einsum(rng):
+    """The per-Gauss-point unrolled hex force phase (the memory-bounding
+    form, ops/apply_keff.py) must equal the reference all-gp einsum to
+    f32 summation-order noise."""
+    from civiwave_tpu.mesh.pack import build_packed_model
+    from civiwave_tpu.ops import apply_keff as ak
+    from civiwave_tpu.ops.apply_keff import _stress
+    from civiwave_tpu.utils.synthetic import box_mesh, cantilever_config
+
+    cfg = cantilever_config()
+    mesh = box_mesh(5, 4, 3, hex_elements=True)
+    pre = preprocess.run(mesh, cfg)
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    model, state, _f = build_packed_model(mesh, pre, cfg, mats)
+    x = jnp.asarray(
+        rng.standard_normal((model.padded_node_count, 3)).astype(np.float32)
+    )
+    ss = np.float32(1.1)
+    xs = ak.sanitize(model, x)
+    out = np.asarray(ak.hex_forces(model, xs, ss))
+
+    u_e = xs[model.conn_hex]
+    # element-major view of the gp-major transposed table
+    grads = jnp.transpose(model.grads_hex, (3, 0, 1, 2))  # (H, 8g, 8l, 3)
+    g_tensor = jnp.einsum("hgla,hlb->hgab", grads, u_e)
+    stress = _stress(
+        g_tensor, model.lam_hex[:, None], model.mu_hex[:, None]
+    )
+    weighted = (model.vol_hex.T * ss)[:, :, None, None] * stress
+    ref = np.asarray(
+        jnp.einsum("hgla,hgab->hlb", grads, weighted).reshape(-1, 3)
+    )
+    np.testing.assert_allclose(
+        out, ref, atol=1e-6 * np.abs(ref).max(), rtol=1e-5
+    )
