@@ -261,3 +261,43 @@ def test_named_scopes_in_lowered_program():
         "newmark_update",
     ):
         assert scope in text, f"named scope '{scope}' missing from HLO"
+
+
+def test_warm_start_policy_solution_matches_predictor_trajectory():
+    """warm_start_policy='solution' (the reference's previous-solution
+    seed, newmark_stepper.cpp:1120-1133) and the default 'predictor' seed
+    must produce the same trajectory to solver tolerance — the seed only
+    changes the iteration count, never the converged solution (ADR-17)."""
+    import jax.numpy as jnp
+    from functools import partial
+
+    from civiwave_tpu.solver.stepper import newmark_step
+
+    mesh = bar_mesh(3, 2, 2, hex_elements=True)
+    cfg = bar_config(tol_runtime=1.0e-8, max_iters=2000)
+    pre = preprocess.run(mesh, cfg)
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    ray = materials.compute_rayleigh(cfg.damping)
+    model, state0, force = pack.build_packed_model(mesh, pre, cfg, mats)
+
+    results = {}
+    for policy in ("solution", "predictor"):
+        step = partial(
+            newmark_step,
+            rayleigh_alpha=ray.alpha,
+            rayleigh_beta=ray.beta,
+            warm_start_policy=policy,
+        )
+        s = state0
+        iters = 0
+        for _ in range(4):
+            out = step(model, s, force, 1.0e-3, 1.0e-8, 2000)
+            assert bool(out.pcg.converged)
+            s = out.state
+            iters += int(out.pcg.iterations)
+        results[policy] = (np.asarray(s.displacement), iters)
+
+    u_sol, _ = results["solution"]
+    u_pred, _ = results["predictor"]
+    scale = np.abs(u_sol).max()
+    np.testing.assert_allclose(u_pred, u_sol, atol=1.0e-5 * scale)
