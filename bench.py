@@ -194,11 +194,11 @@ def main() -> None:
                 f"iters/step, tol 2e-4, checksum {checksum:.3e})"
             )
 
-    if gdofs_general is not None:
+    import math
+
+    if gdofs_general is not None and math.isfinite(gdofs_structured):
         log(f"structured/general speedup: {gdofs_structured / gdofs_general:.1f}x")
     log(f"device: {jax.devices()[0]}")
-
-    import math
 
     print(
         json.dumps(

@@ -246,11 +246,28 @@ def parse_config_node(root: Any) -> Config:
         runtime_tolerance=_as_float(solver_node["tol_runtime"], ["solver", "tol_runtime"]),
         pause_tolerance=_as_float(solver_node["tol_pause"], ["solver", "tol_pause"]),
         max_iterations=_as_uint(solver_node["max_iters"], ["solver", "max_iters"]),
+        warm_start_policy=_as_str(
+            solver_node.get("warm_start_policy", "predictor"),
+            ["solver", "warm_start_policy"],
+        ),
+        variant=_as_str(
+            solver_node.get("variant", "classic"), ["solver", "variant"]
+        ),
     )
     if solver.max_iterations == 0:
         raise _err("solver.max_iters must be >= 1", ["solver", "max_iters"])
     if solver.runtime_tolerance <= 0.0 or solver.pause_tolerance <= 0.0:
         raise _err("solver tolerances must be > 0", ["solver"])
+    if solver.warm_start_policy not in ("predictor", "solution"):
+        raise _err(
+            "solver.warm_start_policy must be 'predictor' or 'solution'",
+            ["solver", "warm_start_policy", solver.warm_start_policy],
+        )
+    if solver.variant not in ("classic", "fused"):
+        raise _err(
+            "solver.variant must be 'classic' or 'fused'",
+            ["solver", "variant", solver.variant],
+        )
 
     # precision ----------------------------------------------------------------
     precision_node = root.get("precision")

@@ -60,6 +60,15 @@ class SolverSettings:
     runtime_tolerance: float
     pause_tolerance: float
     max_iterations: int
+    # optional extensions beyond the reference schema (additive, defaulted):
+    # warm-start seed policy (ADR-17): 'predictor' (default, seeds PCG from
+    # the Newmark predictor) or 'solution' (reference parity: previous
+    # solve's solution, newmark_stepper.cpp:1120-1133)
+    warm_start_policy: str = "predictor"
+    # PCG reduction layout: 'classic' (3 dependent dots/iteration,
+    # pcg.cpp:830-915) or 'fused' (Chronopoulos-Gear single fused
+    # reduction/iteration — one all-reduce on multi-chip meshes)
+    variant: str = "classic"
 
 
 @dataclass(frozen=True)

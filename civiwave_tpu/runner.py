@@ -179,6 +179,11 @@ def build_simulation(
     schedule = None
     if routed is not None:
         model, schedule = routed
+        print(
+            f"path: structured fast path ({model.nx}x{model.ny}x{model.nz} "
+            f"grid, {model.dof_count:,} DOF, constant-stencil operator)",
+            file=sys.stderr,
+        )
         state = model.zero_state()
         force = schedule.at_time(cfg.curves, 0.0)
         mesh = pre = None
@@ -196,6 +201,11 @@ def build_simulation(
         mesh = _load_mesh(cfg, scenario_path, mesh_root)
         pre = preprocess.run(mesh, cfg)
         model, state, force = pack.build_packed_model(mesh, pre, cfg, mats)
+        print(
+            f"path: general gather path ({mesh.element_count:,} elements, "
+            f"{model.dof_count:,} DOF, dual-CSR assembly)",
+            file=sys.stderr,
+        )
 
     stepper = NewmarkStepper(
         model, state, force, rayleigh, cfg.solver, cfg.time,

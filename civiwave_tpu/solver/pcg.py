@@ -79,6 +79,34 @@ def _clamp_dirichlet(model: PackedModel, rhs, x, r):
     return x, r
 
 
+def dot_partials(a: jax.Array, b: jax.Array) -> jax.Array:
+    """f32 minor-axis-chunked partial products of one dot (the chunk phase
+    of :func:`dot_f64` without the final accumulate) — building block of
+    the fused single-reduction variant."""
+    prod = a * b
+    if prod.ndim >= 2:
+        return jnp.sum(prod, axis=-1)
+    return prod
+
+
+def fused_dots(pairs, dtype=jnp.float64) -> jax.Array:
+    """k dot products reduced in ONE pass: returns a (k,) vector.
+
+    Each pair's f32 chunk partials are stacked along a new leading axis and
+    the whole stack is accumulated in ``dtype`` by a single reduce.  Under
+    GSPMD this lowers to one per-shard partial reduction + ONE (k,)-vector
+    all-reduce over the mesh axis — the communication-reduced analogue of
+    pcg_reduce_final.slang, where the classic loop's three dependent dots
+    cost three sequential all-reduces per iteration.
+    """
+    parts = [dot_partials(a, b) for a, b in pairs]
+    stacked = jnp.stack(parts)
+    axes = tuple(range(1, stacked.ndim))
+    if dtype == jnp.float32:
+        return jnp.sum(stacked.astype(jnp.float32), axis=axes)
+    return jnp.sum(stacked.astype(dtype), axis=axes)
+
+
 class _Carry(NamedTuple):
     x: jax.Array
     r: jax.Array
@@ -104,6 +132,7 @@ def solve_pcg(
     reduction_dtype=jnp.float64,
     vector_dtype=jnp.float32,
     preconditioner=None,
+    variant: str = "classic",
 ):
     """PCG solve; returns (solution (N*, 3) vectors, PcgTelemetry).
 
@@ -118,7 +147,18 @@ def solve_pcg(
     result to reuse across solves.  Building it in-solve costs 80 ms of the
     ~460 ms step at 50M DOF (ADR-17) and only depends on dt through
     (ss, mf), so the stepper hoists it and rebuilds on dt changes only.
+
+    ``variant``: 'classic' is the reference's 3-dot loop (pcg.cpp:830-915);
+    'fused' is the Chronopoulos-Gear single-reduction recurrence (one
+    all-reduce per iteration — see :func:`solve_pcg_fused`).
     """
+    if variant == "fused":
+        return solve_pcg_fused(
+            model, rhs, stiffness_scale, mass_factor, relative_tolerance,
+            max_iterations, x0, warm_start=warm_start,
+            reduction_dtype=reduction_dtype, vector_dtype=vector_dtype,
+            preconditioner=preconditioner,
+        )
     f32 = vector_dtype
     rdt = reduction_dtype
 
@@ -221,6 +261,191 @@ def solve_pcg(
         r=r,
         p=p,
         rho=rho0,
+        residual_norm=residual_norm,
+        alpha_last=jnp.asarray(0.0, rdt),
+        beta_last=jnp.asarray(0.0, rdt),
+        iteration=jnp.asarray(0, jnp.int32),
+        converged=converged0,
+        breakdown=breakdown0,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+
+    telemetry = PcgTelemetry(
+        iterations=final.iteration,
+        residual_norm=final.residual_norm,
+        rhs_norm=rhs_norm_true,
+        alpha_last=final.alpha_last,
+        beta_last=final.beta_last,
+        converged=final.converged,
+        breakdown=final.breakdown,
+    )
+    return final.x, telemetry
+
+
+class _FusedCarry(NamedTuple):
+    x: jax.Array
+    r: jax.Array
+    p: jax.Array
+    s: jax.Array  # A p (recurred, not recomputed)
+    gamma: jax.Array  # (r, u) of the current iterate
+    alpha: jax.Array  # step length to apply next
+    residual_norm: jax.Array
+    alpha_last: jax.Array
+    beta_last: jax.Array
+    iteration: jax.Array
+    converged: jax.Array
+    breakdown: jax.Array
+
+
+def solve_pcg_fused(
+    model: PackedModel,
+    rhs: jax.Array,
+    stiffness_scale,
+    mass_factor,
+    relative_tolerance,
+    max_iterations,
+    x0: jax.Array,
+    warm_start: bool = True,
+    reduction_dtype=jnp.float64,
+    vector_dtype=jnp.float32,
+    preconditioner=None,
+):
+    """Chronopoulos-Gear PCG: ONE fused reduction per iteration.
+
+    Mathematically identical to classic PCG (same alpha/beta/iterates in
+    exact arithmetic; Chronopoulos & Gear 1989, the standard
+    single-synchronization CG reformulation), but the three dot products
+    are rearranged to be mutually independent so they reduce in one pass:
+
+        x += alpha p ; r -= alpha s          (s = A p, recurred)
+        u  = M^-1 r ; w = A u
+        gamma' = (r,u); delta = (w,u); rr = (r,r)   <- ONE (3,)-all-reduce
+        beta  = gamma'/gamma
+        alpha = gamma' / (delta - beta gamma'/alpha)
+        p = u + beta p ; s = w + beta s
+
+    The classic loop (pcg.cpp:830-915, solve_pcg above) serializes p.Ap
+    before the x/r update and r.r / r.z after it — two dependent reduction
+    points, 2-3 sequential f64 all-reduces per iteration under GSPMD.  Here
+    the single (3,) reduction is the only collective per iteration, which
+    is what the >=500 steps/s north star at 10M DOF on v5p-32 needs: the
+    per-iteration critical path becomes matvec + precondition + ONE
+    ~10-20 us all-reduce (README projection).  Cost: one extra recurrence
+    vector (s) and one extra matvec at setup (w0 = A u0) — ~1/iters
+    single-chip overhead, which is why 'classic' stays the single-chip
+    default.
+
+    Numerics: the recurred s = A p drifts from the true A p by rounding at
+    ~1e-7/iteration in f32; at the 2e-4 runtime tolerance and <=120
+    iteration caps used here the trajectories match classic to within
+    test tolerances (pinned by tests/test_pcg.py).
+    """
+    f32 = vector_dtype
+    rdt = reduction_dtype
+
+    block_inverse = (
+        model.build_preconditioner(stiffness_scale, mass_factor)
+        if preconditioner is None
+        else preconditioner
+    )
+
+    x = x0 if warm_start else jnp.zeros_like(x0)
+
+    ax = model.apply_keff(x, stiffness_scale, mass_factor)
+    r = (rhs - ax).astype(f32)
+    x, r = _clamp_dirichlet(model, rhs, x, r)
+
+    with jax.named_scope("pcg_precondition"):
+        u = model.apply_preconditioner(block_inverse, r)
+    with jax.named_scope("pcg_matvec"):
+        w = model.apply_keff(u, stiffness_scale, mass_factor)
+    # one fused setup reduction: gamma0, delta0, ||r||^2 and ||rhs||^2
+    gamma0, delta0, rr0, rhs2 = fused_dots(
+        [(r, u), (w, u), (r, r), (rhs, rhs)], rdt
+    )
+    rhs_norm_true = jnp.sqrt(rhs2)
+    rhs_norm = jnp.where(rhs_norm_true < _RHS_NORM_FLOOR, 1.0, rhs_norm_true)
+    tolerance = relative_tolerance * rhs_norm
+
+    residual_norm = jnp.sqrt(rr0)
+    converged0 = residual_norm <= tolerance
+
+    delta_breakdown0 = jnp.abs(delta0) < _BREAKDOWN_TOL
+    breakdown0 = jnp.logical_and(jnp.logical_not(converged0), delta_breakdown0)
+    alpha0 = gamma0 / jnp.where(delta_breakdown0, 1.0, delta0)
+
+    p = jnp.where(model.bc_mask, 0.0, u).astype(f32)
+    s = jnp.where(model.bc_mask, 0.0, w).astype(f32)
+
+    max_iters = jnp.asarray(max_iterations, dtype=jnp.int32)
+
+    def cond(carry: _FusedCarry):
+        return jnp.logical_and(
+            carry.iteration < max_iters,
+            jnp.logical_and(
+                jnp.logical_not(carry.converged), jnp.logical_not(carry.breakdown)
+            ),
+        )
+
+    def body(carry: _FusedCarry) -> _FusedCarry:
+        alpha32 = carry.alpha.astype(f32)
+        x = carry.x + alpha32 * carry.p
+        r = carry.r - alpha32 * carry.s
+        # constrained axes: p and s are zero there by recurrence (u, w are
+        # bc-zeroed each iteration), so x stays = rhs and r stays = 0
+        # bit-for-bit — the same proved-no-op clamp elision as classic.
+        with jax.named_scope("pcg_precondition"):
+            u = model.apply_preconditioner(block_inverse, r)
+        with jax.named_scope("pcg_matvec"):
+            w = model.apply_keff(u, stiffness_scale, mass_factor)
+
+        with jax.named_scope("pcg_fused_reduction"):
+            gamma_new, delta, rr = fused_dots([(r, u), (w, u), (r, r)], rdt)
+        residual_norm = jnp.sqrt(rr)
+        converged = residual_norm <= tolerance
+
+        gamma_breakdown = jnp.abs(carry.gamma) < _BREAKDOWN_TOL
+        beta = gamma_new / jnp.where(gamma_breakdown, 1.0, carry.gamma)
+        alpha_denom = delta - beta * gamma_new / jnp.where(
+            jnp.abs(carry.alpha) < _BREAKDOWN_TOL, 1.0, carry.alpha
+        )
+        denom_breakdown = jnp.abs(alpha_denom) < _BREAKDOWN_TOL
+        alpha_new = gamma_new / jnp.where(denom_breakdown, 1.0, alpha_denom)
+
+        breakdown = jnp.logical_and(
+            jnp.logical_not(converged),
+            jnp.logical_or(gamma_breakdown, denom_breakdown),
+        )
+        stop = jnp.logical_or(converged, breakdown)
+
+        beta32 = beta.astype(f32)
+        p = u + beta32 * carry.p
+        p = jnp.where(model.bc_mask, 0.0, p)
+        s = (w + beta32 * carry.s).astype(f32)
+        s = jnp.where(model.bc_mask, 0.0, s)
+
+        return _FusedCarry(
+            x=x,
+            r=r,
+            p=jnp.where(stop, carry.p, p),
+            s=jnp.where(stop, carry.s, s),
+            gamma=jnp.where(stop, carry.gamma, gamma_new),
+            alpha=jnp.where(stop, carry.alpha, alpha_new),
+            residual_norm=residual_norm,
+            alpha_last=carry.alpha,  # the step just applied
+            beta_last=jnp.where(stop, carry.beta_last, beta),
+            iteration=carry.iteration + 1,
+            converged=converged,
+            breakdown=breakdown,
+        )
+
+    init = _FusedCarry(
+        x=x,
+        r=r,
+        p=p,
+        s=s,
+        gamma=gamma0,
+        alpha=alpha0,
         residual_norm=residual_norm,
         alpha_last=jnp.asarray(0.0, rdt),
         beta_last=jnp.asarray(0.0, rdt),

@@ -81,15 +81,19 @@ def effective_scalars(
     rayleigh_beta: float,
     newmark_beta: float = 0.25,
     newmark_gamma: float = 0.5,
+    vector_precision: str = "fp32",
 ):
-    """Host-side (stiffness_scale, mass_factor) as np.float32 — bitwise the
-    values newmark_step derives on device from the same f64 dt
-    (newmark_stepper.cpp:1322-1326), for prebuilding the preconditioner."""
+    """Host-side (stiffness_scale, mass_factor) in the vector precision —
+    bitwise the values newmark_step derives on device from the same f64 dt
+    (newmark_stepper.cpp:1322-1326), for prebuilding the preconditioner.
+    In fp64 vector mode newmark_step keeps the scalars in f64, so the
+    prebuilt preconditioner must too."""
     a0 = 1.0 / (newmark_beta * dt * dt)
     a1 = newmark_gamma / (newmark_beta * dt)
+    scalar = np.float64 if vector_precision == "fp64" else np.float32
     return (
-        np.float32(1.0 + a1 * rayleigh_beta),
-        np.float32(a0 + a1 * rayleigh_alpha),
+        scalar(1.0 + a1 * rayleigh_beta),
+        scalar(a0 + a1 * rayleigh_alpha),
     )
 
 
@@ -107,6 +111,7 @@ def newmark_step(
     newmark_gamma: float = 0.5,
     warm_start: bool = True,
     warm_start_policy: str = "predictor",
+    solver_variant: str = "classic",
     reduction_precision: str = "fp64",
     vector_precision: str = "fp32",
     preconditioner=None,
@@ -207,6 +212,7 @@ def newmark_step(
             ),
             vector_dtype=f32,
             preconditioner=preconditioner,
+            variant=solver_variant,
         )
 
     # state update (newmark_stepper.cpp:1288-1314) with delta = x - u_pred,
@@ -248,6 +254,8 @@ class NewmarkStepper:
         warm_start: bool = True,
         reduction_precision: str = "fp64",
         vector_precision: str = "fp32",
+        warm_start_policy: str | None = None,
+        solver_variant: str | None = None,
     ) -> None:
         self.model = model
         self.state = initial_state
@@ -262,6 +270,19 @@ class NewmarkStepper:
         self.accumulated_time = 0.0
         self.frame_index = 0
         self.warm_start_enabled = warm_start
+        # constructor args override the YAML solver settings when given;
+        # both default through SolverSettings (ADR-17: 'predictor' is the
+        # measured-better default, 'solution' is reference parity)
+        self.warm_start_policy = (
+            warm_start_policy
+            if warm_start_policy is not None
+            else getattr(solver_settings, "warm_start_policy", "predictor")
+        )
+        self.solver_variant = (
+            solver_variant
+            if solver_variant is not None
+            else getattr(solver_settings, "variant", "classic")
+        )
 
         self._step_fn = jax.jit(
             partial(
@@ -271,6 +292,8 @@ class NewmarkStepper:
                 newmark_beta=newmark_beta,
                 newmark_gamma=newmark_gamma,
                 warm_start=warm_start,
+                warm_start_policy=self.warm_start_policy,
+                solver_variant=self.solver_variant,
                 reduction_precision=reduction_precision,
                 vector_precision=vector_precision,
             )
@@ -281,6 +304,7 @@ class NewmarkStepper:
         # at 50M DOF (ADR-17).  _precond_dt tracks the dt it was built for.
         self._newmark_beta = newmark_beta
         self._newmark_gamma = newmark_gamma
+        self._vector_precision = vector_precision
         self._precond = None
         self._precond_dt = None
         self._build_precond_fn = jax.jit(
@@ -313,6 +337,7 @@ class NewmarkStepper:
                 self.rayleigh.beta,
                 self._newmark_beta,
                 self._newmark_gamma,
+                vector_precision=self._vector_precision,
             )
             self._precond = self._build_precond_fn(self.model, ss, mf)
             self._precond_dt = self.current_dt

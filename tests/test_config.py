@@ -303,3 +303,55 @@ def test_precision_values_validated(tmp_path):
     )
     with pytest.raises(ConfigError, match="fp32.*fp64|reductions"):
         load_config_from_file(str(bad))
+
+
+def test_solver_variant_and_warm_start_policy_defaults():
+    cfg = parse_config_node(make_config_dict())
+    assert cfg.solver.variant == "classic"
+    assert cfg.solver.warm_start_policy == "predictor"
+
+
+def test_solver_variant_fused_parses():
+    cfg = parse_config_node(
+        make_config_dict(
+            solver={
+                "type": "pcg",
+                "preconditioner": "bj",
+                "tol_runtime": 1e-4,
+                "tol_pause": 1e-5,
+                "max_iters": 10,
+                "variant": "fused",
+                "warm_start_policy": "solution",
+            }
+        )
+    )
+    assert cfg.solver.variant == "fused"
+    assert cfg.solver.warm_start_policy == "solution"
+
+
+def test_solver_variant_validated():
+    _expect(
+        "solver.variant must be 'classic' or 'fused'",
+        solver={
+            "type": "pcg",
+            "preconditioner": "bj",
+            "tol_runtime": 1e-4,
+            "tol_pause": 1e-5,
+            "max_iters": 10,
+            "variant": "pipelined",
+        },
+    )
+
+
+def test_solver_warm_start_policy_validated():
+    _expect(
+        "solver.warm_start_policy must be 'predictor' or 'solution'",
+        solver={
+            "type": "pcg",
+            "preconditioner": "bj",
+            "tol_runtime": 1e-4,
+            "tol_pause": 1e-5,
+            "max_iters": 10,
+            "warm_start_policy": "zero",
+        },
+    )

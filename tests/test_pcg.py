@@ -269,3 +269,110 @@ def test_unrolled_hex_forces_match_allgp_einsum(rng):
     np.testing.assert_allclose(
         out, ref, atol=1e-6 * np.abs(ref).max(), rtol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# fused (Chronopoulos-Gear single-reduction) variant
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mesh_kind", ["bar_tet", "bar_hex"])
+def test_fused_variant_matches_classic(mesh_kind):
+    """solver.variant='fused' reproduces the classic trajectory at the
+    production tolerances (2e-4 runtime / 1e-5 pause, docs/spec.md:28).
+
+    The recurred s = A p drifts from the true product by f32 rounding, so
+    at tolerances far tighter than the contract the fused variant needs
+    extra iterations (measured: 49 vs 40 at 1e-7 on this kappa~1e12 bar);
+    at the pause tolerance the iteration counts agree within a couple and
+    the solutions match."""
+    hex_elements = mesh_kind == "bar_hex"
+    mesh = bar_mesh(3, 1, 1, hex_elements=hex_elements)
+    cfg = bar_config()
+    _, _, ray, coeffs, model, _, force, _, _ = _setup(mesh, cfg)
+    rhs = jnp.where(model.bc_mask, model.bc_value, force)
+    scale, mf = np.float32(1.0), np.float32(coeffs.a0)
+    x0 = jnp.zeros_like(rhs)
+    sol_c, tel_c = solve_pcg(
+        model, rhs, scale, mf, 1e-5, 2000, x0, warm_start=False
+    )
+    sol_f, tel_f = solve_pcg(
+        model, rhs, scale, mf, 1e-5, 2000, x0, warm_start=False,
+        variant="fused",
+    )
+    assert bool(tel_c.converged) and bool(tel_f.converged)
+    assert not bool(tel_f.breakdown)
+    assert abs(int(tel_f.iterations) - int(tel_c.iterations)) <= max(
+        2, int(0.15 * int(tel_c.iterations))
+    )
+    ref = np.abs(np.asarray(sol_c)).max() + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(sol_f), np.asarray(sol_c), atol=1e-4 * ref
+    )
+
+
+def test_fused_variant_matches_dense_oracle():
+    """Fused variant vs the dense oracle at the pcg_test.cpp:358 tolerance —
+    the same parity bar the classic loop has to clear."""
+    mesh = bar_mesh(3, 1, 1, hex_elements=True)
+    cfg = bar_config()
+    pre, mats, ray, coeffs, model, state, force, assembly, dirichlet = _setup(mesh, cfg)
+    prev = newmark.State.zeros(mesh.dof_count)
+    load = np.asarray(jax.device_get(force))[: mesh.node_count].reshape(-1)
+    rhs_flat = newmark.build_effective_rhs(
+        load.astype(np.float64), assembly.stiffness, assembly.mass_diag,
+        ray, coeffs, prev,
+    )
+    rhs_flat = np.where(
+        dirichlet.mask, dirichlet.targets - prev.displacement, rhs_flat
+    )
+    rhs_norm = np.linalg.norm(rhs_flat)
+    dense = oracle.solve_newmark_step(
+        assembly, ray, dirichlet, mesh, cfg, pre, coeffs, prev, 0.0,
+        1.0e-8 * rhs_norm, 2000,
+    )
+    assert dense.stats.converged
+
+    rhs = np.zeros((model.padded_node_count, 3), np.float32)
+    rhs[: mesh.node_count] = rhs_flat.reshape(-1, 3).astype(np.float32)
+    scale = np.float32(1.0 + coeffs.a1 * ray.beta)
+    mass_factor = np.float32(coeffs.a0 + coeffs.a1 * ray.alpha)
+    x0 = jnp.zeros((model.padded_node_count, 3), jnp.float32)
+    solution, telemetry = jax.jit(
+        solve_pcg, static_argnames=("warm_start", "variant")
+    )(
+        model, jnp.asarray(rhs), scale, mass_factor, 1.0e-7, 2000, x0,
+        warm_start=False, variant="fused",
+    )
+    assert bool(telemetry.converged)
+    got = np.asarray(solution)[: mesh.node_count].reshape(-1)
+    dense_delta = dense.state.displacement - prev.displacement
+    scale_ref = np.abs(dense_delta).max() + 1e-30
+    np.testing.assert_allclose(got, dense_delta, atol=2.5e-4 * scale_ref)
+
+
+def test_fused_variant_zero_rhs_converges_immediately():
+    mesh, cfg = single_tet_mesh(), tet_config()
+    _, _, ray, coeffs, model, _, _, _, _ = _setup(mesh, cfg)
+    rhs = jnp.zeros((model.padded_node_count, 3), jnp.float32)
+    x0 = jnp.zeros_like(rhs)
+    solution, telemetry = solve_pcg(
+        model, rhs, 1.0, 1.0, 1.0e-6, 100, x0, warm_start=False,
+        variant="fused",
+    )
+    assert int(telemetry.iterations) == 0
+    assert bool(telemetry.converged)
+    np.testing.assert_array_equal(np.asarray(solution), 0.0)
+
+
+def test_fused_dots_match_separate_dots(rng):
+    from civiwave_tpu.solver.pcg import dot_f64, fused_dots
+
+    a = jnp.asarray(rng.standard_normal((64, 3)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((64, 3)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((64, 3)).astype(np.float32))
+    fused = np.asarray(fused_dots([(a, b), (b, c), (a, a)]))
+    sep = np.array([
+        float(dot_f64(a, b)), float(dot_f64(b, c)), float(dot_f64(a, a))
+    ])
+    np.testing.assert_allclose(fused, sep, rtol=1e-14)

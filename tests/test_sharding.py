@@ -237,3 +237,137 @@ def test_structured_sharded_step_with_pallas_kernel(eight_device_mesh):
     u1 = np.asarray(out_single.state.displacement)
     u8 = np.asarray(out_sharded.state.displacement)
     np.testing.assert_allclose(u8, u1, atol=1e-5 * (np.abs(u1).max() + 1e-30))
+
+
+# ---------------------------------------------------------------------------
+# communication-reduced PCG: compiled-HLO collective-count proof
+# ---------------------------------------------------------------------------
+
+import re
+from collections import Counter
+from functools import partial
+
+_COLLECTIVE_DEF = re.compile(
+    r"=\s*((?:\([^)]*\)|\S+))\s+(all-reduce|collective-permute)\("
+)
+
+
+def _pcg_body_collectives(hlo_text: str):
+    """Collective ops *defined* inside the PCG while-loop body computation.
+
+    GSPMD renames the widened while body to ``%wide.region...``; the PCG
+    loop is the only while in the step, so the wide region holding
+    collectives is it.  Returns Counter{(op, shape): count}."""
+    comps: dict[str, list] = {}
+    cur = None
+    for ln in hlo_text.splitlines():
+        header = re.match(r"^(%[\w\.\-]+)\s*\(.*\)\s*->", ln)
+        if header:
+            cur = header.group(1)
+            comps[cur] = []
+        elif cur is not None:
+            m = _COLLECTIVE_DEF.search(ln)
+            if m:
+                comps[cur].append((m.group(2), m.group(1)))
+    candidates = {
+        name: ops for name, ops in comps.items() if "wide" in name and ops
+    }
+    assert candidates, "no while-body computation with collectives found"
+    ops = max(candidates.values(), key=len)
+    return Counter(ops)
+
+
+def _compile_structured_step_hlo(mesh, variant):
+    from civiwave_tpu.parallel.sharding import shard_structured
+    from civiwave_tpu.solver.stepper import effective_scalars
+
+    model, force, ray = _structured_fixture((15, 8, 8), 8)
+    state = model.zero_state()
+    s_model, s_state, s_force = shard_structured(model, state, force, mesh)
+    ss, mf = effective_scalars(1e-3, ray.alpha, ray.beta)
+    pc = jax.jit(lambda m, a, b: m.build_preconditioner(a, b))(s_model, ss, mf)
+    step = jax.jit(
+        partial(
+            newmark_step,
+            rayleigh_alpha=ray.alpha,
+            rayleigh_beta=ray.beta,
+            solver_variant=variant,
+        )
+    )
+    return (
+        step.lower(s_model, s_state, s_force, 1e-3, 2e-4, 120, preconditioner=pc)
+        .compile()
+        .as_text()
+    )
+
+
+def test_pcg_iteration_collective_counts(eight_device_mesh):
+    """Compiler-verified per-iteration collective counts on the sharded
+    structured step (VERDICT round-2 item 1b): the fused Chronopoulos-Gear
+    variant runs exactly ONE all-reduce per PCG iteration — a single (3,)
+    f64 vector — where the classic 3-dot loop needs two sequential
+    all-reduce points (p.Ap, then the XLA-merged {r.r, r.z} tuple).  Both
+    keep the two halo collective-permutes of the X-slab stencil."""
+    classic = _pcg_body_collectives(
+        _compile_structured_step_hlo(eight_device_mesh, "classic")
+    )
+    fused = _pcg_body_collectives(
+        _compile_structured_step_hlo(eight_device_mesh, "fused")
+    )
+
+    classic_ar = sum(n for (op, _), n in classic.items() if op == "all-reduce")
+    fused_ar = sum(n for (op, _), n in fused.items() if op == "all-reduce")
+    assert fused_ar == 1, f"fused variant should have 1 all-reduce: {fused}"
+    assert classic_ar >= 2, f"classic should have >=2 all-reduces: {classic}"
+    # the fused reduction is one (3,)-vector f64 all-reduce
+    assert any(
+        op == "all-reduce" and "f64[3]" in shape for (op, shape) in fused
+    ), f"expected f64[3] fused all-reduce: {fused}"
+    # halo exchange unchanged: 2 ghost-plane permutes in both variants
+    classic_cp = sum(
+        n for (op, _), n in classic.items() if op == "collective-permute"
+    )
+    fused_cp = sum(
+        n for (op, _), n in fused.items() if op == "collective-permute"
+    )
+    assert classic_cp == fused_cp == 2
+
+
+def test_fused_variant_sharded_matches_classic_single_device(eight_device_mesh):
+    """Trajectory parity across BOTH axes at once: fused variant + 8-way
+    X-slab sharding vs classic single-device, 3 Newmark steps."""
+    from civiwave_tpu.parallel.sharding import shard_structured
+
+    model, force, ray = _structured_fixture((15, 8, 8), 8)
+    state = model.zero_state()
+
+    def make_step(variant):
+        return jax.jit(
+            partial(
+                newmark_step,
+                rayleigh_alpha=ray.alpha,
+                rayleigh_beta=ray.beta,
+                solver_variant=variant,
+            )
+        )
+
+    classic_step = make_step("classic")
+    fused_step = make_step("fused")
+
+    s_model, s_state, s_force = shard_structured(
+        model, state, force, eight_device_mesh
+    )
+    ref_state = state
+    for _ in range(3):
+        out_ref = classic_step(model, ref_state, force, 1e-3, 2e-4, 120)
+        ref_state = out_ref.state
+        out_sharded = fused_step(s_model, s_state, s_force, 1e-3, 2e-4, 120)
+        s_state = out_sharded.state
+        assert bool(out_sharded.pcg.converged)
+        assert abs(
+            int(out_sharded.pcg.iterations) - int(out_ref.pcg.iterations)
+        ) <= max(2, int(0.15 * int(out_ref.pcg.iterations)))
+    u_ref = np.asarray(ref_state.displacement)
+    u_fused = np.asarray(s_state.displacement)
+    scale = np.abs(u_ref).max() + 1e-30
+    np.testing.assert_allclose(u_fused, u_ref, atol=2e-4 * scale)

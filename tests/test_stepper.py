@@ -301,3 +301,40 @@ def test_warm_start_policy_solution_matches_predictor_trajectory():
     u_pred, _ = results["predictor"]
     scale = np.abs(u_sol).max()
     np.testing.assert_allclose(u_pred, u_sol, atol=1.0e-5 * scale)
+
+
+def test_solver_settings_knobs_thread_into_stepper():
+    """YAML solver.variant / solver.warm_start_policy reach the stepper
+    (round-2 ADVICE: the 'solution' parity policy must be reachable from a
+    production entry point), and a fused-variant stepper's trajectory
+    matches the classic one."""
+    import dataclasses
+
+    mesh = bar_mesh(3, 2, 2, hex_elements=True)
+    cfg = bar_config()
+    solver_fused = dataclasses.replace(
+        cfg.solver, variant="fused", warm_start_policy="solution"
+    )
+
+    stepper_classic, *_ = _build_stepper(mesh, cfg)
+    pre = preprocess.run(mesh, cfg)
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    ray = materials.compute_rayleigh(cfg.damping)
+    model, state, force = pack.build_packed_model(mesh, pre, cfg, mats)
+    stepper_fused = NewmarkStepper(
+        model, state, force, ray, solver_fused, cfg.time
+    )
+    assert stepper_fused.solver_variant == "fused"
+    assert stepper_fused.warm_start_policy == "solution"
+    assert stepper_classic.solver_variant == "classic"
+    assert stepper_classic.warm_start_policy == "predictor"
+
+    for frame in range(3):
+        t = frame * 1.0e-3
+        tel_c = stepper_classic.step(t)
+        tel_f = stepper_fused.step(t)
+        assert tel_c.pcg_converged and tel_f.pcg_converged
+    u_c = stepper_classic.displacement()
+    u_f = stepper_fused.displacement()
+    scale = np.abs(u_c).max() + 1e-30
+    np.testing.assert_allclose(u_f, u_c, atol=2e-4 * scale)
