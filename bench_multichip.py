@@ -1,0 +1,187 @@
+"""Multi-chip perf harness: compiler-verified collective counts + projection.
+
+Builds the sharded structured Newmark step for a range of shard counts on
+whatever devices exist (real chips or virtual CPU devices), extracts the
+per-PCG-iteration collective counts from the compiled HLO
+(civiwave_tpu/parallel/collectives.py), and emits ONE JSON line per
+(shard count, solver variant) combining:
+
+* the compiled truth: all-reduces + collective-permutes per iteration;
+* a projected steps/s at the north-star config (BASELINE.md: 10M-DOF hex on
+  v5p-32) from measured single-chip kernel times + the collective counts;
+* a measured steps/s when enough real TPU chips are attached (skipped on
+  virtual meshes — a CPU timing would be meaningless).
+
+This converts the README's hand math into compiler-verified math and is
+ready to run the day real multi-chip hardware appears.
+
+Projection model (all knobs env-overridable):
+    t_iter(N) = (t_matvec + t_tail) * (target_dof / N) / measured_dof
+                + n_all_reduce * t_ar + n_permute * t_cp
+    steps/s   = 1 / (t_iter * iters_per_step + t_frame_envelope(N))
+Defaults use the round-2 v5e measurements (BENCH_r02: 9.26 ms matvec +
+4.6 ms PCG tail per iteration at 50.3M DOF, 24.9 iters/step at tol 2e-4)
+scaled by CIVIWAVE_MC_CHIP_SPEEDUP for the target chip (v5p HBM bandwidth
+is ~3.4x v5e's; both kernels are bandwidth/VPU-bound) and 15/5 us per
+all-reduce/one-plane-permute over ICI (scaling-book-class latencies).
+
+Env knobs:
+    CIVIWAVE_MC_SIZE=63,32,32      grid for HLO extraction (compile-sized)
+    CIVIWAVE_MC_SHARDS=1,2,4,8     shard counts to compile
+    CIVIWAVE_MC_TARGET_DOF=10.06e6 projection workload
+    CIVIWAVE_MC_MEASURED_DOF=50.33e6, CIVIWAVE_MC_T_MATVEC_MS=9.26,
+    CIVIWAVE_MC_T_TAIL_MS=4.6, CIVIWAVE_MC_ITERS=24.9,
+    CIVIWAVE_MC_CHIP_SPEEDUP=3.4 (v5p/v5e), CIVIWAVE_MC_AR_US=15,
+    CIVIWAVE_MC_CP_US=5
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _env_f(name: str, default: float) -> float:
+    return float(os.environ.get(name, default))
+
+
+def main() -> None:
+    import jax
+
+    n_visible = len(jax.devices())
+    backend = jax.default_backend()
+    shard_counts = [
+        int(s)
+        for s in os.environ.get("CIVIWAVE_MC_SHARDS", "1,2,4,8").split(",")
+    ]
+    shard_counts = [n for n in shard_counts if n <= n_visible]
+    if not shard_counts:
+        log(f"no usable shard counts on {n_visible} visible devices")
+        return
+
+    size = os.environ.get("CIVIWAVE_MC_SIZE", "63,32,32")
+    nx, ny, nz = (int(s) for s in size.split(","))
+
+    from civiwave_tpu.mesh.structured import build_structured_model
+    from civiwave_tpu.parallel.collectives import per_iteration_counts
+    from civiwave_tpu.parallel.sharding import make_device_mesh, shard_structured
+    from civiwave_tpu.physics import materials
+    from civiwave_tpu.solver.stepper import effective_scalars, newmark_step
+    from civiwave_tpu.utils.synthetic import cantilever_config
+
+    cfg = cantilever_config()
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    ray = materials.compute_rayleigh(cfg.damping)
+    pad_mult = max(shard_counts)
+    model, force = build_structured_model(
+        nx, ny, nz, mats[0], cfg.materials[0].density,
+        traction=(0.0, 0.0, -1.0e6), pad_x_multiple=pad_mult,
+    )
+    state = model.zero_state()
+    log(
+        f"grid {nx}x{ny}x{nz} ({model.dof_count:,} DOF), backend={backend}, "
+        f"{n_visible} devices, shard counts {shard_counts}"
+    )
+
+    # projection constants (see module docstring)
+    target_dof = _env_f("CIVIWAVE_MC_TARGET_DOF", 10.06e6)
+    measured_dof = _env_f("CIVIWAVE_MC_MEASURED_DOF", 50.33e6)
+    t_matvec = _env_f("CIVIWAVE_MC_T_MATVEC_MS", 9.26) * 1e-3
+    t_tail = _env_f("CIVIWAVE_MC_T_TAIL_MS", 4.6) * 1e-3
+    iters = _env_f("CIVIWAVE_MC_ITERS", 24.9)
+    speedup = _env_f("CIVIWAVE_MC_CHIP_SPEEDUP", 3.4)
+    t_ar = _env_f("CIVIWAVE_MC_AR_US", 15.0) * 1e-6
+    t_cp = _env_f("CIVIWAVE_MC_CP_US", 5.0) * 1e-6
+    # non-PCG frame envelope (predictor + RHS + update: ~4 vector passes,
+    # measured inside the 345 ms step at 50.3M as step - iters*(mv+tail))
+    t_envelope = _env_f("CIVIWAVE_MC_T_ENVELOPE_MS", 5.0) * 1e-3
+
+    ss, mf = effective_scalars(1.0e-3, ray.alpha, ray.beta)
+
+    results = []
+    for n_shards in shard_counts:
+        mesh = make_device_mesh(n_shards)
+        s_model, s_state, s_force = shard_structured(model, state, force, mesh)
+        pc = jax.jit(lambda m, a, b: m.build_preconditioner(a, b))(
+            s_model, ss, mf
+        )
+        for variant in ("classic", "fused"):
+            step = jax.jit(
+                partial(
+                    newmark_step,
+                    rayleigh_alpha=ray.alpha,
+                    rayleigh_beta=ray.beta,
+                    solver_variant=variant,
+                )
+            )
+            t0 = time.perf_counter()
+            compiled = step.lower(
+                s_model, s_state, s_force, 1e-3, 2e-4, 120, preconditioner=pc
+            ).compile()
+            compile_s = time.perf_counter() - t0
+            if n_shards > 1:
+                n_ar, n_cp = per_iteration_counts(compiled.as_text())
+            else:
+                n_ar = n_cp = 0  # single chip: no collectives exist
+
+            # projection at the north-star workload
+            per_chip = target_dof / n_shards / measured_dof
+            t_iter = (t_matvec + t_tail) * per_chip / speedup
+            t_iter += n_ar * t_ar + n_cp * t_cp
+            t_step = t_iter * iters + t_envelope * per_chip / speedup
+            projected = 1.0 / t_step
+
+            measured = None
+            if backend == "tpu" and n_shards <= n_visible:
+                # real chips: measure 8 steps end-to-end (host loop over
+                # the compiled executable; host fetch forces completion on
+                # the axon relay)
+                import jax.numpy as jnp
+
+                st = s_state
+                out = compiled(
+                    s_model, st, s_force, 1e-3, 2e-4, 120, preconditioner=pc
+                )
+                float(jnp.sum(out.state.displacement[0, :1]))  # sync
+                t0 = time.perf_counter()
+                st = s_state
+                for _ in range(8):
+                    out = compiled(
+                        s_model, st, s_force, 1e-3, 2e-4, 120,
+                        preconditioner=pc,
+                    )
+                    st = out.state
+                float(jnp.sum(st.displacement[0, :1]))
+                measured = 8.0 / (time.perf_counter() - t0)
+
+            row = {
+                "metric": "multichip_pcg_collectives",
+                "shards": n_shards,
+                "variant": variant,
+                "all_reduce_per_iter": n_ar,
+                "permute_per_iter": n_cp,
+                "projected_steps_per_sec_10M_v5p": round(projected, 1),
+                "measured_steps_per_sec": (
+                    round(measured, 2) if measured is not None else None
+                ),
+                "backend": backend,
+            }
+            results.append(row)
+            log(
+                f"[{n_shards} shard(s), {variant}] compile {compile_s:.1f}s; "
+                f"AR/iter={n_ar} CP/iter={n_cp}; projected {projected:.0f} "
+                f"steps/s at 10M DOF on v5p-{max(32, n_shards)}"
+                + (f"; measured {measured:.2f} steps/s" if measured else "")
+            )
+            print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

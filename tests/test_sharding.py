@@ -243,38 +243,9 @@ def test_structured_sharded_step_with_pallas_kernel(eight_device_mesh):
 # communication-reduced PCG: compiled-HLO collective-count proof
 # ---------------------------------------------------------------------------
 
-import re
-from collections import Counter
 from functools import partial
 
-_COLLECTIVE_DEF = re.compile(
-    r"=\s*((?:\([^)]*\)|\S+))\s+(all-reduce|collective-permute)\("
-)
-
-
-def _pcg_body_collectives(hlo_text: str):
-    """Collective ops *defined* inside the PCG while-loop body computation.
-
-    GSPMD renames the widened while body to ``%wide.region...``; the PCG
-    loop is the only while in the step, so the wide region holding
-    collectives is it.  Returns Counter{(op, shape): count}."""
-    comps: dict[str, list] = {}
-    cur = None
-    for ln in hlo_text.splitlines():
-        header = re.match(r"^(%[\w\.\-]+)\s*\(.*\)\s*->", ln)
-        if header:
-            cur = header.group(1)
-            comps[cur] = []
-        elif cur is not None:
-            m = _COLLECTIVE_DEF.search(ln)
-            if m:
-                comps[cur].append((m.group(2), m.group(1)))
-    candidates = {
-        name: ops for name, ops in comps.items() if "wide" in name and ops
-    }
-    assert candidates, "no while-body computation with collectives found"
-    ops = max(candidates.values(), key=len)
-    return Counter(ops)
+from civiwave_tpu.parallel.collectives import pcg_body_collectives
 
 
 def _compile_structured_step_hlo(mesh, variant):
@@ -308,10 +279,10 @@ def test_pcg_iteration_collective_counts(eight_device_mesh):
     f64 vector — where the classic 3-dot loop needs two sequential
     all-reduce points (p.Ap, then the XLA-merged {r.r, r.z} tuple).  Both
     keep the two halo collective-permutes of the X-slab stencil."""
-    classic = _pcg_body_collectives(
+    classic = pcg_body_collectives(
         _compile_structured_step_hlo(eight_device_mesh, "classic")
     )
-    fused = _pcg_body_collectives(
+    fused = pcg_body_collectives(
         _compile_structured_step_hlo(eight_device_mesh, "fused")
     )
 
