@@ -61,12 +61,27 @@ _FLT_MAX = np.float32(np.finfo(np.float32).max)
 
 
 def clamp_to_f32(values: np.ndarray) -> np.ndarray:
-    """fp64 -> fp32 with +/-FLT_MAX clamping (pack.cpp:41-57)."""
-    values = np.asarray(values, dtype=np.float64)
-    finite = np.isfinite(values)
-    clipped = np.clip(values, -np.float64(_FLT_MAX), np.float64(_FLT_MAX))
-    out = np.where(finite, clipped, values)  # keep inf/nan verbatim
-    return out.astype(np.float32)
+    """fp64 -> fp32 with +/-FLT_MAX clamping (pack.cpp:41-57).
+
+    Single-pass fast path: cast first, then repair only the (rare) entries
+    that overflowed to inf from a finite f64 — at multi-GB table sizes the
+    previous isfinite + clip + where pipeline cost 4 full f64 passes and
+    ~17 s of the 524k-hex pack."""
+    values = np.asarray(values)
+    if values.dtype == np.float32:
+        return values  # already in range by construction
+    values = np.ascontiguousarray(values, dtype=np.float64)
+    with np.errstate(over="ignore", invalid="ignore"):
+        out = values.astype(np.float32)
+    flat_out = out.reshape(-1)
+    overflow = np.flatnonzero(np.isinf(flat_out))
+    if overflow.size:
+        src = values.reshape(-1)[overflow]
+        finite = np.isfinite(src)  # keep real inf/nan verbatim
+        flat_out[overflow[finite]] = np.sign(src[finite]).astype(
+            np.float32
+        ) * _FLT_MAX
+    return out
 
 
 def _round_up(value: int, multiple: int) -> int:
@@ -88,9 +103,12 @@ class PackedModel:
     # chunked operators; ops/apply_keff.py's layout lesson records the
     # measured dead ends: flat-1-D scalar gathers and on-device gradient
     # recompute were both slower than streaming stored tables).
-    # tet block (single quadrature point, constant gradients)
+    # tet block (single quadrature point, constant gradients).  Gradients
+    # are stored NODE-MAJOR TRANSPOSED — (4l, 3, T*) — for the same reason
+    # as the hex tables below: the scalar-component operator reads each of
+    # the 12 gradient components as a contiguous (T*,) stream.
     conn_tet: jax.Array  # (T*, 4) int32
-    grads_tet: jax.Array  # (T*, 4, 3) f32
+    grads_tet: jax.Array  # (4l, 3, T*) f32
     vol_tet: jax.Array  # (T*,) f32
     lam_tet: jax.Array  # (T*,) f32
     mu_tet: jax.Array  # (T*,) f32
@@ -317,20 +335,22 @@ def build_packed_model(
     t_pad = _round_up(t, pad_elems) if t else 0
     h_pad = _round_up(h, pad_elems) if h else 0
 
-    # preprocess emits tet rows first (one per tet), then hex rows (8 per
-    # hex, contiguous) — see mesh/preprocess.py run()
+    # preprocess emits element-type-blocked tables (tet block + gp-major
+    # hex block) — see mesh/preprocess.py PreprocessOutputs
     conn_tet = np.zeros((t_pad, 4), dtype=np.int32)
-    grads_tet = np.zeros((t_pad, 4, 3), dtype=np.float32)
+    grads_tet = np.zeros((4, 3, t_pad), dtype=np.float32)
     vol_tet = np.zeros(t_pad, dtype=np.float32)
     lam_tet = np.zeros(t_pad, dtype=np.float32)
     mu_tet = np.zeros(t_pad, dtype=np.float32)
     mat_tet = np.zeros(t_pad, dtype=np.int32)
     if t:
-        rows = preprocess.quad_connectivity[:t]
+        rows = preprocess.tet_connectivity
         conn_tet[:t] = np.where(rows[:, :4] == SENTINEL, 0, rows[:, :4])
-        grads_tet[:t] = clamp_to_f32(preprocess.quad_gradients[:t, :4])
-        vol_tet[:t] = clamp_to_f32(preprocess.quad_volume[:t])
-        mat_idx = preprocess.quad_material_index[:t]
+        grads_tet[:, :, :t] = clamp_to_f32(
+            preprocess.tet_gradients
+        ).transpose(1, 2, 0)
+        vol_tet[:t] = clamp_to_f32(preprocess.tet_volume)
+        mat_idx = preprocess.tet_material
         mat_tet[:t] = mat_idx
         lam_tet[:t] = clamp_to_f32(lam_np[mat_idx])
         mu_tet[:t] = clamp_to_f32(mu_np[mat_idx])
@@ -342,15 +362,13 @@ def build_packed_model(
     mu_hex = np.zeros(h_pad, dtype=np.float32)
     mat_hex = np.zeros(h_pad, dtype=np.int32)
     if h:
-        rows = preprocess.quad_connectivity[t:].reshape(h, 8, 8)
-        conn_hex[:h] = np.where(rows[:, 0] == SENTINEL, 0, rows[:, 0])
-        grads_hex[:, :, :, :h] = clamp_to_f32(
-            preprocess.quad_gradients[t:].reshape(h, 8, 8, 3)
-        ).transpose(1, 2, 3, 0)
-        vol_hex[:, :h] = clamp_to_f32(
-            preprocess.quad_volume[t:].reshape(h, 8)
-        ).T
-        mat_idx = preprocess.quad_material_index[t:].reshape(h, 8)[:, 0]
+        rows = preprocess.hex_connectivity
+        conn_hex[:h] = np.where(rows == SENTINEL, 0, rows)
+        # preprocess emits hex gradients directly in the gp-major device
+        # layout — no element-major materialization or transpose at scale
+        grads_hex[:, :, :, :h] = clamp_to_f32(preprocess.hex_gradients_gp)
+        vol_hex[:, :h] = clamp_to_f32(preprocess.hex_detj)
+        mat_idx = preprocess.hex_material
         mat_hex[:h] = mat_idx
         lam_hex[:h] = clamp_to_f32(lam_np[mat_idx])
         mu_hex[:h] = clamp_to_f32(mu_np[mat_idx])

@@ -60,9 +60,11 @@ class StructuredModel:
     same ordering as :func:`civiwave_tpu.utils.synthetic.box_mesh`.
     """
 
-    # per-element material fields
-    lam_grid: jax.Array  # (nx, ny, nz) f32
-    mu_grid: jax.Array  # (nx, ny, nz) f32
+    # per-element material fields, padded along X to the node extent so
+    # X-slab sharding divides them evenly (dead tail cells are never read
+    # — consume through lam_cells/mu_cells)
+    lam_grid: jax.Array  # (X, ny, nz) f32
+    mu_grid: jax.Array  # (X, ny, nz) f32
     # node-grid fields (CSG layout)
     mass_grid: jax.Array  # (X, Y, Z) f32
     bc_mask: jax.Array  # (3, X, Y, Z) bool
@@ -110,6 +112,15 @@ class StructuredModel:
     preconditioner: str = field(
         metadata=dict(static=True), default="block_jacobi"
     )
+
+    @property
+    def lam_cells(self) -> jax.Array:
+        """(nx, ny, nz) live-cell view of the X-padded material grid."""
+        return self.lam_grid[: self.nx]
+
+    @property
+    def mu_cells(self) -> jax.Array:
+        return self.mu_grid[: self.nx]
 
     @property
     def grid_shape(self) -> Tuple[int, int, int]:
@@ -289,6 +300,16 @@ def build_structured_model(
         homogeneous = True
     lam0 = float(lam_grid.flat[0]) if homogeneous else 0.0
     mu0 = float(mu_grid.flat[0]) if homogeneous else 0.0
+
+    # pad the cell grids along X to the padded NODE extent: X-slab
+    # sharding (parallel/sharding.shard_structured) then divides the
+    # material grids evenly across chips instead of replicating them
+    # (round-2 VERDICT item 5).  The dead tail is never read — operators
+    # consume the grids through lam_cells/mu_cells ([:nx] slices).
+    cell_pad = xs_pad - nx
+    if cell_pad:
+        lam_grid = np.pad(lam_grid, ((0, cell_pad), (0, 0), (0, 0)))
+        mu_grid = np.pad(mu_grid, ((0, cell_pad), (0, 0), (0, 0)))
 
     # lumped mass: rho * V_cell / 8 scattered to the 8 corners (pad planes
     # carry no elements, hence no mass)

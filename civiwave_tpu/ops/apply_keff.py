@@ -89,13 +89,46 @@ def _stress(g_tensor: jax.Array, lam: jax.Array, mu: jax.Array) -> jax.Array:
 
 
 def tet_forces(model: PackedModel, x_sanitized: jax.Array, stiffness_scale) -> jax.Array:
-    """(T* * 4, 3) local node force rows for the tet block."""
-    u_e = x_sanitized[model.conn_tet]  # (T, 4, 3)
-    grads = model.grads_tet
-    g_tensor = jnp.einsum("tla,tlb->tab", grads, u_e)
-    stress = _stress(g_tensor, model.lam_tet, model.mu_tet)
-    scale = (model.vol_tet * stiffness_scale)[:, None, None]
-    return (scale * jnp.einsum("tla,tab->tlb", grads, stress)).reshape(-1, 3)
+    """(T* * 4, 3) local node force rows for the tet block.
+
+    SCALAR-COMPONENT form like :func:`hex_forces` (single quadrature
+    point): every quantity is a (T,)-shaped component stream combined
+    with statically-unrolled sums over the 4 local nodes and 3 axes, so
+    no (..., 4, 3)- or (..., 3, 3)-minor-dim intermediate materializes.
+    The einsum form lane-padded those tensors to ~KB per tet on TPU —
+    the same 25 GB-class HBM blowup ADR-18 measured for hexes, just
+    deferred to tet-dominant multi-million-element meshes.  The gradient
+    table is stored node-major transposed (4l, 3, T*) so each of the 12
+    component reads is a contiguous (T,) stream."""
+    u_e = jnp.transpose(
+        x_sanitized[model.conn_tet], (1, 2, 0)
+    )  # (4l, 3, T) — one row gather + one relayout
+    u = [[u_e[l, b] for b in range(3)] for l in range(4)]
+    gr = [[model.grads_tet[l, a] for a in range(3)] for l in range(4)]
+    lam, mu = model.lam_tet, model.mu_tet
+    vs = model.vol_tet * stiffness_scale
+    # G_ab = sum_l dN_la u_lb  (displacement gradient)
+    G = [
+        [sum(gr[l][a] * u[l][b] for l in range(4)) for b in range(3)]
+        for a in range(3)
+    ]
+    tr = G[0][0] + G[1][1] + G[2][2]
+    # S_ab = V s (lam tr d_ab + mu (G_ab + G_ba))
+    S = [
+        [
+            vs * (mu * (G[a][b] + G[b][a]) + (lam * tr if a == b else 0.0))
+            for b in range(3)
+        ]
+        for a in range(3)
+    ]
+    f = [
+        [sum(gr[l][a] * S[a][b] for a in range(3)) for b in range(3)]
+        for l in range(4)
+    ]
+    out = jnp.stack(
+        [jnp.stack(fl, axis=-1) for fl in f], axis=1
+    )  # (T, 4l, 3)
+    return out.reshape(-1, 3)
 
 
 def hex_forces(model: PackedModel, x_sanitized: jax.Array, stiffness_scale) -> jax.Array:

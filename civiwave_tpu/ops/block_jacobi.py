@@ -58,9 +58,11 @@ def assemble_node_blocks(
     """
     parts = []
     if model.padded_tet_count:
+        # node-major transposed table: (4l, 3, T*) -> (T*, 4l, 3) view for
+        # the block algebra (one relayout; this build is hoisted per dt)
         parts.append(
             _local_blocks(
-                model.grads_tet,
+                jnp.transpose(model.grads_tet, (2, 0, 1)),
                 model.vol_tet * stiffness_scale,
                 model.lam_tet,
                 model.mu_tet,

@@ -278,6 +278,19 @@ def attach_multigrid(model: StructuredModel) -> StructuredModel:
     distributed), or a grid too small to coarsen.
     """
     if not model.homogeneous or model.shard_mesh is not None:
+        import sys
+
+        reason = (
+            "heterogeneous material grid"
+            if not model.homogeneous
+            else "shard_map X-slab decomposition (coarse levels are not "
+            "distributed)"
+        )
+        print(
+            f"note: multigrid preconditioner unavailable ({reason}); "
+            "falling back to block_jacobi",
+            file=sys.stderr,
+        )
         return model
     levels: list[StructuredModel] = []
     cur = model

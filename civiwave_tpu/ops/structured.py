@@ -481,8 +481,8 @@ def _apply_heterogeneous_stiffness(model: StructuredModel, xs: jax.Array) -> jax
     """Per-element corner-gather K*xs with material grids (CSG layout)."""
     grads, gp_vol = _element_tables(model.spacing)
     nx, ny, nz = model.nx, model.ny, model.nz
-    lam = model.lam_grid
-    mu = model.mu_grid
+    lam = model.lam_cells
+    mu = model.mu_cells
     u_l = _corner_views(xs, nx, ny, nz)
 
     # accumulate per-corner force fields across Gauss points
@@ -608,8 +608,8 @@ def assemble_node_blocks_structured(
     grid_shape = model.grid_shape
 
     ss = jnp.asarray(stiffness_scale, jnp.float32)
-    lam_mu = (model.lam_grid + model.mu_grid) * ss
-    mu = model.mu_grid * ss
+    lam_mu = (model.lam_cells + model.mu_cells) * ss
+    mu = model.mu_cells * ss
 
     rows = []
     for a in range(3):

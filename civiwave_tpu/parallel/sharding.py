@@ -60,7 +60,8 @@ def model_shardings(
     return dataclasses.replace(
         model,
         conn_tet=row,
-        grads_tet=row,
+        # node-major transposed tet table shards its trailing element axis
+        grads_tet=NamedSharding(mesh, P(None, None, axis_name)),
         vol_tet=row,
         lam_tet=row,
         mu_tet=row,
@@ -113,14 +114,21 @@ def shard_structured(model, state: SimState, external_force, mesh: Mesh,
     rep = NamedSharding(mesh, P())
     # homogeneous grids run the explicit shard_map + ppermute halo operator
     # (ops/structured_sharded.py) so the fused Pallas slab kernel executes
-    # per shard; heterogeneous grids stay on the GSPMD corner-gather form
+    # per shard; heterogeneous grids stay on the GSPMD corner-gather form,
+    # with the MATERIAL CELL GRIDS sharded along X too (each chip holds
+    # its slab of lam/mu; GSPMD inserts the one-plane halo exchange the
+    # +/-1 element-view shifts need) — a replicated 50M-cell material
+    # pair would cost ~400 MB of HBM per chip for nothing.  The cell axis
+    # (nx) is one shorter than the padded node axis, so GSPMD pads the
+    # last shard internally; correctness is pinned by
+    # tests/test_sharding.py::test_heterogeneous_structured_sharded.
     model = dataclasses.replace(
         model, shard_mesh=mesh, shard_axis=axis_name
     )
     m_shard = dataclasses.replace(
         model,
-        lam_grid=rep,
-        mu_grid=rep,
+        lam_grid=grid,
+        mu_grid=grid,
         mass_grid=grid,
         bc_mask=vec,
         bc_value=vec,

@@ -97,7 +97,7 @@ def compute_structured_derived(model: StructuredModel, u_csg: jax.Array):
         for (di, dj, dk) in CORNERS
     ]
     strain6 = _strain_from_views(views, mg)
-    stress6 = _stress_from_strain(strain6, model.lam_grid, model.mu_grid)
+    stress6 = _stress_from_strain(strain6, model.lam_cells, model.mu_cells)
     elem_strain = jnp.stack(strain6)
     elem_stress = jnp.stack(stress6)
     elem_vm = _von_mises6(stress6)
@@ -187,8 +187,8 @@ def probe_derived_host(
     """(strain6, stress6, von_mises) per probe from its displacement
     window — the same incident-cell mean the full node average computes."""
     mg = _mean_grads(model.spacing)
-    lam_grid = np.asarray(model.lam_grid)
-    mu_grid = np.asarray(model.mu_grid)
+    lam_grid = np.asarray(model.lam_cells)
+    mu_grid = np.asarray(model.mu_cells)
     nx, ny, nz = model.nx, model.ny, model.nz
     xs, ys, zs = nx + 1, ny + 1, nz + 1
     out = []

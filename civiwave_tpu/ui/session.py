@@ -123,3 +123,101 @@ class InteractiveSession:
                 self._sim.mesh.element_count,
             )
         return telemetry, derived
+
+
+# ---------------------------------------------------------------------------
+# directional display-stress overlay (viewer.cpp:2940-2999, 3290-3321)
+# ---------------------------------------------------------------------------
+
+
+def stress_reference_range(base_stress: np.ndarray) -> float:
+    """Reference scale of the base von Mises field
+    (refresh_stress_reference_range, viewer.cpp:3290-3321)."""
+    base = np.asarray(base_stress, np.float64)
+    finite = base[np.isfinite(base)]
+    if finite.size == 0:
+        return 1.0
+    min_v, max_v = float(finite.min()), float(finite.max())
+    delta = max_v - min_v
+    fallback = max(abs(max_v), 1.0)
+    return max(abs(delta), max(fallback, 1.0e-3))
+
+
+def estimate_auto_falloff(
+    positions: np.ndarray, base_stress: np.ndarray, anchor: int
+) -> float:
+    """Decay constant (1/m) from the local stress gradients around the
+    anchor (estimate_auto_falloff, viewer.cpp:3324-3365): mean
+    |sigma_i - sigma_anchor| / distance over all vertices, normalized by
+    the anchor stress and clamped to [0.05, 2.0]; 0.35 default."""
+    positions = np.asarray(positions, np.float64)
+    base = np.asarray(base_stress, np.float64)
+    if positions.shape[0] == 0 or base.size == 0:
+        return 0.35
+    anchor = min(max(int(anchor), 0), positions.shape[0] - 1)
+    anchor_stress = max(abs(float(base[anchor])), 1.0e-3)
+    delta = positions - positions[anchor]
+    dist = np.sqrt(np.einsum("ij,ij->i", delta, delta))
+    dstress = np.abs(base - base[anchor])
+    mask = (dist >= 1.0e-4) & (dstress >= 1.0e-6)
+    mask[anchor] = False
+    if not mask.any():
+        return 0.35
+    mean_gradient = float((dstress[mask] / dist[mask]).mean())
+    return float(np.clip(mean_gradient / anchor_stress, 0.05, 2.0))
+
+
+def display_stress_overlay(
+    positions: np.ndarray,
+    base_stress: np.ndarray,
+    request: PointLoadRequest,
+    magnitude_scale: float = 1.0,
+):
+    """Anticipatory directional stress overlay
+    (recompute_display_stress, viewer.cpp:2940-2999).
+
+    Paints an exponentially-decaying directional contribution from the
+    picked anchor over the whole mesh on top of the solved von Mises
+    field: vertices aligned with the load direction gain
+    ``reference_scale * magnitude * alignment * exp(-distance * falloff)``
+    with the falloff auto-derived from the local stress gradients.
+    Returns (display (N,) f32, falloff).
+    """
+    positions = np.asarray(positions, np.float64)
+    base = np.asarray(base_stress, np.float64)
+    display = np.where(np.isfinite(base), base, 0.0)
+    if magnitude_scale != 1.0:
+        display = display * float(magnitude_scale)
+    falloff = estimate_auto_falloff(positions, base, request.anchor)
+    if (
+        not request.enabled
+        or positions.shape[0] == 0
+        or int(request.anchor) >= base.size
+    ):
+        return display.astype(np.float32), falloff
+
+    anchor = min(max(int(request.anchor), 0), positions.shape[0] - 1)
+    direction = np.asarray(request.direction, np.float64)
+    if magnitude(direction) < 1.0e-6:
+        direction = np.array([0.0, 0.0, -1.0])
+    else:
+        direction = safe_normalize(direction)
+    reference_scale = max(stress_reference_range(base), 1.0)
+    scale = reference_scale * float(magnitude_scale)
+
+    delta = positions - positions[anchor]
+    dist = np.sqrt(np.einsum("ij,ij->i", delta, delta))
+    near = dist < 1.0e-5
+    with np.errstate(divide="ignore", invalid="ignore"):
+        unit = delta / dist[:, None]
+    alignment = unit @ direction
+    influence = np.where(
+        near,
+        scale,
+        np.where(
+            alignment > 0.0,
+            scale * alignment * np.exp(-dist * falloff),
+            0.0,
+        ),
+    )
+    return (display + influence).astype(np.float32), falloff

@@ -102,6 +102,22 @@ class ViewerBackend:
             np.ascontiguousarray(u[: self.node_count], np.float32).tobytes()
             + np.ascontiguousarray(vm, np.float32).tobytes()
         )
+        if params.get("overlay"):
+            # anticipatory directional stress overlay with auto-derived
+            # exponential falloff (viewer.cpp:2940-2999) appended as a
+            # third (N,) f32 array
+            from .session import display_stress_overlay
+
+            display, falloff = display_stress_overlay(
+                self.positions[: self.node_count],
+                vm,
+                request,
+                magnitude_scale=float(params.get("magnitude_scale", 1.0)),
+            )
+            header["overlay"] = True
+            header["falloff"] = round(float(falloff), 4)
+            header["overlay_max"] = float(display.max()) if display.size else 0.0
+            blob += np.ascontiguousarray(display, np.float32).tobytes()
         return header, blob
 
     def reset(self) -> None:

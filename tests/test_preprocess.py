@@ -150,11 +150,14 @@ def test_hex8_gradients_reproduce_linear_field():
     out = preprocess.run(mesh, bar_config())
     coeff = np.array([0.3, -1.2, 2.5])
     # each Gauss row must recover the uniform gradient of a linear field
-    # (local slots follow the row's connectivity order)
+    # (local slots follow the row's connectivity order).  Hex gradients are
+    # computed in f64 but STORED in f32 — the device-table precision the
+    # packer ships anyway (hex_gradients_gp_major) — so recovery is exact
+    # to f32 rounding, not f64.
     for g in range(8):
         values = mesh.node_positions[out.quad_connectivity[g]] @ coeff
         recovered = np.einsum("la,l->a", out.quad_gradients[g], values)
-        np.testing.assert_allclose(recovered, coeff, rtol=1e-10)
+        np.testing.assert_allclose(recovered, coeff, rtol=1e-6)
 
 
 def test_hex8_inverted_rejected():

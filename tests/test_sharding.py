@@ -342,3 +342,56 @@ def test_fused_variant_sharded_matches_classic_single_device(eight_device_mesh):
     u_fused = np.asarray(s_state.displacement)
     scale = np.abs(u_ref).max() + 1e-30
     np.testing.assert_allclose(u_fused, u_ref, atol=2e-4 * scale)
+
+
+def test_heterogeneous_structured_sharded_matches_single_device(
+    eight_device_mesh,
+):
+    """Heterogeneous material grids + X-slab sharding (round-2 VERDICT
+    item 5): the material CELL grids shard along X with the solver
+    vectors (no per-chip replication), the GSPMD corner-gather operator
+    handles the +/-1 element-view halos, and the sharded step matches the
+    single-device one.  The reference always supported multi-material
+    (buffers.cpp:67-96) but never multi-device."""
+    import dataclasses as dc
+
+    from civiwave_tpu.mesh.structured import build_structured_model
+    from civiwave_tpu.parallel.sharding import shard_structured
+    from civiwave_tpu.utils.synthetic import cantilever_config
+
+    cfg = cantilever_config()
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    ray = materials.compute_rayleigh(cfg.damping)
+    nx, ny, nz = 15, 6, 6
+    rng = np.random.default_rng(11)
+    lam0 = mats[0].lame.lam
+    mu0 = mats[0].lame.mu
+    lam_grid = lam0 * (1.0 + rng.uniform(0.0, 1.0, (nx, ny, nz)))
+    mu_grid = mu0 * (1.0 + rng.uniform(0.0, 1.0, (nx, ny, nz)))
+    model, force = build_structured_model(
+        nx, ny, nz, mats[0], cfg.materials[0].density,
+        traction=(0.0, 0.0, -1.0e6), pad_x_multiple=8,
+        lam_grid=lam_grid, mu_grid=mu_grid,
+    )
+    assert not model.homogeneous
+    state = model.zero_state()
+
+    def step(m, s, f):
+        return newmark_step(
+            m, s, f, 0.001, 1.0e-7, 500,
+            rayleigh_alpha=ray.alpha, rayleigh_beta=ray.beta,
+        )
+
+    out_single = jax.jit(step)(model, state, force)
+    s_model, s_state, s_force = shard_structured(
+        model, state, force, eight_device_mesh
+    )
+    # material grids are genuinely distributed, not replicated
+    assert len(s_model.lam_grid.sharding.device_set) == 8
+    assert not s_model.lam_grid.sharding.is_fully_replicated
+    out_sharded = jax.jit(step)(s_model, s_state, s_force)
+
+    assert bool(out_sharded.pcg.converged)
+    u1 = np.asarray(out_single.state.displacement)
+    u8 = np.asarray(out_sharded.state.displacement)
+    np.testing.assert_allclose(u8, u1, atol=1e-5 * (np.abs(u1).max() + 1e-30))

@@ -141,3 +141,43 @@ def test_reset_restores_baseline(session):
     )
     ses.reset()
     np.testing.assert_array_equal(sim.stepper.displacement(), 0.0)
+
+
+def test_display_stress_overlay_directional_decay():
+    """Host twin of recompute_display_stress (viewer.cpp:2940-2999):
+    anchor gets the full boost, aligned vertices decay exponentially with
+    distance, anti-aligned vertices are untouched."""
+    import numpy as np
+
+    from civiwave_tpu.ui.session import (
+        PointLoadRequest,
+        display_stress_overlay,
+        estimate_auto_falloff,
+        stress_reference_range,
+    )
+
+    pos = np.array(
+        [[0.0, 0, 0], [1.0, 0, 0], [2.0, 0, 0], [-1.0, 0, 0]], np.float64
+    )
+    vm = np.array([10.0, 5.0, 2.0, 4.0])
+    req = PointLoadRequest(
+        enabled=True, anchor=0, direction=(1.0, 0.0, 0.0),
+        magnitude_newtons=1.0,
+    )
+    display, falloff = display_stress_overlay(pos, vm, req)
+    assert 0.05 <= falloff <= 2.0
+    ref = stress_reference_range(vm)
+    assert display[0] == pytest.approx(vm[0] + ref)  # anchor: full boost
+    assert display[3] == pytest.approx(vm[3])  # anti-aligned: untouched
+    b1, b2 = display[1] - vm[1], display[2] - vm[2]
+    assert b1 > b2 > 0.0  # exponential decay along the direction
+    assert b1 / b2 == pytest.approx(np.exp(falloff), rel=1e-5)
+
+    # disabled request: pure (scaled) base field, falloff still derived
+    display_off, _ = display_stress_overlay(
+        pos, vm, PointLoadRequest(enabled=False)
+    )
+    np.testing.assert_allclose(display_off, vm)
+
+    # degenerate field: default falloff
+    assert estimate_auto_falloff(pos, np.zeros(4), 0) == pytest.approx(0.35)

@@ -93,3 +93,44 @@ def test_viewer_solve_roundtrip_and_reset(served):
     urllib.request.urlopen(
         urllib.request.Request(base + "/reset", method="POST")
     ).read()
+
+
+def test_viewer_overlay_payload(served):
+    """Directional display-stress overlay (viewer.cpp:2940-2999): the solve
+    response carries a third (N,) f32 array with the anticipatory stress
+    field, an auto-derived falloff in the header, and directional structure
+    (anchor boosted, aligned side boosted more than the opposite side)."""
+    base, backend = served
+    n = backend.node_count
+    anchor = n - 1
+    req = urllib.request.Request(
+        base + "/solve",
+        data=json.dumps(
+            {"enabled": True, "anchor": anchor, "direction": [-1, 0, 0],
+             "magnitude": 1.0e4, "overlay": True}
+        ).encode(),
+        method="POST",
+    )
+    r = urllib.request.urlopen(req)
+    tele = json.loads(r.headers["X-Civiwave"])
+    blob = r.read()
+    assert tele["overlay"] is True
+    assert 0.05 <= tele["falloff"] <= 2.0
+    assert len(blob) == n * 12 + n * 4 + n * 4
+    vm = np.frombuffer(blob, np.float32, n, offset=n * 12)
+    display = np.frombuffer(blob, np.float32, n, offset=n * 16)
+    assert np.isfinite(display).all()
+    boost = display - vm
+    # anchor itself gains the full reference-scale boost
+    assert boost[anchor] > 0.0
+    # vertices on the aligned (-x from anchor) side gain more than the
+    # boost can possibly be negative nowhere
+    assert boost.min() >= -1e-4 * max(1.0, float(vm.max()))
+    assert tele["overlay_max"] >= tele["vm_max"]
+
+
+def test_viewer_page_has_overlay_controls(served):
+    base, _ = served
+    page = urllib.request.urlopen(base + "/").read()
+    assert b"stress overlay" in page and b"depth test" in page
+    assert b"falloff" in page
