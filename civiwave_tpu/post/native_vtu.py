@@ -79,6 +79,24 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(_FLOATP),
         ]
+        lib.cwf_write_vtu_structured.restype = ctypes.c_int32
+        lib.cwf_write_vtu_structured.argtypes = [
+            ctypes.c_char_p,  # path
+            ctypes.c_int32,  # nx (cells)
+            ctypes.c_int32,  # ny
+            ctypes.c_int32,  # nz
+            _FLOATP,  # points
+            ctypes.c_double,  # time
+            ctypes.c_uint32,  # frame
+            ctypes.c_int32,  # n point arrays
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(_FLOATP),
+            ctypes.c_int32,  # n cell arrays
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(_FLOATP),
+        ]
         _lib = lib
         return _lib
 
@@ -96,6 +114,54 @@ def _array_group(arrays: Sequence[Tuple[str, int, np.ndarray]]):
         *[a.ctypes.data_as(_FLOATP) for _, _, a in arrays]
     )
     return names, comps, ptrs
+
+
+def write_vtu_structured_native(
+    path: str,
+    nx: int,
+    ny: int,
+    nz: int,
+    points: np.ndarray,
+    point_arrays: List[Tuple[str, int, np.ndarray]],
+    cell_arrays: List[Tuple[str, int, np.ndarray]],
+    simulation_time: float,
+    frame_index: int,
+) -> int:
+    """Write one structured-box frame; connectivity is generated in C++
+    (implicit in nx/ny/nz), so nothing cell-topology-sized touches Python.
+    Returns the native status (0 = ok, -3 = Int32 offsets overflow)."""
+    lib = load_library()
+    assert lib is not None
+    point_arrays = [
+        (n, c, np.ascontiguousarray(a, dtype=np.float32))
+        for n, c, a in point_arrays
+    ]
+    cell_arrays = [
+        (n, c, np.ascontiguousarray(a, dtype=np.float32))
+        for n, c, a in cell_arrays
+    ]
+    points = np.ascontiguousarray(points, dtype=np.float32)
+    pa_names, pa_comps, pa_ptrs = _array_group(point_arrays)
+    ca_names, ca_comps, ca_ptrs = _array_group(cell_arrays)
+    return int(
+        lib.cwf_write_vtu_structured(
+            path.encode("utf-8"),
+            int(nx),
+            int(ny),
+            int(nz),
+            points.ctypes.data_as(_FLOATP),
+            float(simulation_time),
+            int(frame_index),
+            len(point_arrays),
+            pa_names,
+            pa_comps,
+            pa_ptrs,
+            len(cell_arrays),
+            ca_names,
+            ca_comps,
+            ca_ptrs,
+        )
+    )
 
 
 def write_vtu_native(

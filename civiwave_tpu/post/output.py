@@ -171,20 +171,6 @@ class StructuredOutputManager:
             os.path.join(output_root, "probes", "probes.csv"), settings.probes
         )
         self._writer = AsyncWriter() if async_vtu else None
-        self._vtu_mesh = None  # built lazily, only if a VTU frame happens
-
-    def _mesh_for_vtu(self) -> Mesh:
-        if self._vtu_mesh is None:
-            from ..utils.synthetic import box_mesh
-
-            m = self.model
-            mesh = box_mesh(m.nx, m.ny, m.nz, hex_elements=True)
-            # exact nodal coordinates (handles anisotropic spacing)
-            mesh.node_positions = np.asarray(
-                m.position0[: m.node_count], np.float64
-            )
-            self._vtu_mesh = mesh
-        return self._vtu_mesh
 
     def handle_from_stepper(
         self, simulation_time: float, frame_index: int, stepper
@@ -195,6 +181,7 @@ class StructuredOutputManager:
             probe_derived_host,
             probe_samples,
         )
+        from .vtu import write_vtu_structured
 
         model = self.model
         state = stepper.state
@@ -206,17 +193,19 @@ class StructuredOutputManager:
             u = np.asarray(model.to_nodal(state.displacement))
             v = np.asarray(model.to_nodal(state.velocity))
             a = np.asarray(model.to_nodal(state.acceleration))
+            x0 = np.asarray(model.position0[: model.node_count], np.float32)
             path = os.path.join(
                 self.output_root, "vtu", f"frame_{frame_index:05d}.vtu"
             )
+            # implicit-connectivity writer: no cell-topology arrays on host
             args = (
-                path, self._mesh_for_vtu(), u, v, a, derived,
-                simulation_time, frame_index,
+                path, model.nx, model.ny, model.nz, x0 + u, u, v, a,
+                derived, simulation_time, frame_index,
             )
             if self._writer is not None:
-                self._writer.submit(write_vtu, *args)
+                self._writer.submit(write_vtu_structured, *args)
             else:
-                write_vtu(*args)
+                write_vtu_structured(*args)
         if self.settings.probes:
             probes = tuple(int(p) for p in self.settings.probes)
             kin, windows = probe_samples(model, state, probes)

@@ -233,3 +233,68 @@ def test_structured_device_derived_matches_host():
         np.testing.assert_allclose(
             a, b, atol=5e-6 * scale, err_msg=name
         )
+
+
+def _random_derived(rng, n_nodes: int, n_cells: int):
+    from civiwave_tpu.post.derived import DerivedFieldSet
+
+    return DerivedFieldSet(
+        element_strain=rng.standard_normal((n_cells, 6)).astype(np.float32),
+        element_stress=rng.standard_normal((n_cells, 6)).astype(np.float32),
+        element_von_mises=rng.standard_normal(n_cells).astype(np.float32),
+        node_strain=rng.standard_normal((n_nodes, 6)).astype(np.float32),
+        node_stress=rng.standard_normal((n_nodes, 6)).astype(np.float32),
+        node_von_mises=rng.standard_normal(n_nodes).astype(np.float32),
+    )
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+def test_structured_vtu_byte_identical(tmp_path, monkeypatch, force_python):
+    """write_vtu_structured (implicit connectivity, native + Python
+    fallback) must be byte-identical to write_vtu over the equivalent
+    box_mesh — same appended-raw layout, same x-major/Gmsh-corner cell
+    table (vtu_writer.cpp:171-291 byte format)."""
+    from civiwave_tpu.post import native_vtu
+    from civiwave_tpu.post.vtu import write_vtu, write_vtu_structured
+    from civiwave_tpu.utils.synthetic import box_mesh
+
+    if not force_python and not native_vtu.available():
+        pytest.skip("no native toolchain")
+
+    nx, ny, nz = 3, 2, 4
+    mesh = box_mesh(nx, ny, nz, hex_elements=True)
+    n, e = mesh.node_count, mesh.element_count
+    rng = np.random.default_rng(11)
+    u = rng.standard_normal((n, 3)).astype(np.float32) * 0.01
+    v = rng.standard_normal((n, 3)).astype(np.float32)
+    a = rng.standard_normal((n, 3)).astype(np.float32)
+    fields = _random_derived(rng, n, e)
+
+    if force_python:
+        monkeypatch.setattr(native_vtu, "available", lambda: False)
+
+    p_ref = str(tmp_path / "explicit.vtu")
+    write_vtu(p_ref, mesh, u, v, a, fields, 0.5, 3)
+    p_imp = str(tmp_path / "implicit.vtu")
+    points = (mesh.node_positions.astype(np.float32) + u).astype(np.float32)
+    write_vtu_structured(p_imp, nx, ny, nz, points, u, v, a, fields, 0.5, 3)
+
+    assert open(p_imp, "rb").read() == open(p_ref, "rb").read()
+
+
+def test_structured_vtu_int32_guard(tmp_path):
+    """Grids whose connectivity would overflow the Int32 offsets block
+    must fail loudly, not write a corrupt file."""
+    from civiwave_tpu.post.vtu import write_vtu_structured
+    from civiwave_tpu.utils.errors import VtuError
+
+    rng = np.random.default_rng(0)
+    with pytest.raises(VtuError):
+        write_vtu_structured(
+            str(tmp_path / "huge.vtu"), 700, 700, 700,
+            np.zeros((8, 3), np.float32),
+            np.zeros((8, 3), np.float32),
+            np.zeros((8, 3), np.float32),
+            np.zeros((8, 3), np.float32),
+            _random_derived(rng, 8, 1), 0.0, 0,
+        )
