@@ -332,8 +332,20 @@ def build_packed_model(
     tet_elems = np.nonzero(is_tet)[0]
     hex_elems = np.nonzero(is_hex)[0]
     t, h = tet_elems.size, hex_elems.size
-    t_pad = _round_up(t, pad_elems) if t else 0
-    h_pad = _round_up(h, pad_elems) if h else 0
+    # large element blocks align to the Pallas streaming-kernel block
+    # (ops/pallas/element_forces.BLOCK_ELEMS) so the force phase can run
+    # on-kernel; dead padded elements are exact no-ops (zero gradients)
+    from ..ops.pallas.element_forces import BLOCK_ELEMS
+
+    def _elem_pad(count: int) -> int:
+        if not count:
+            return 0
+        if count >= BLOCK_ELEMS:
+            return _round_up(count, max(pad_elems, BLOCK_ELEMS))
+        return _round_up(count, pad_elems)
+
+    t_pad = _elem_pad(t)
+    h_pad = _elem_pad(h)
 
     # preprocess emits element-type-blocked tables (tet block + gp-major
     # hex block) — see mesh/preprocess.py PreprocessOutputs

@@ -62,11 +62,28 @@ Semantics preserved exactly (pcg.cpp:530-686):
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from ..mesh.pack import PackedModel
+from .pallas.element_forces import (
+    BLOCK_ELEMS,
+    hex_force_streams,
+    tet_force_streams,
+)
 
+
+def _element_backend() -> str:
+    """Element force-phase backend: 'pallas' (TPU default), 'xla' (CPU
+    default + fallback for unaligned/small blocks), or 'interpret'
+    (Pallas interpreter — CPU tests of the kernel logic).  Override with
+    CIVIWAVE_ELEMENT_KERNEL."""
+    env = os.environ.get("CIVIWAVE_ELEMENT_KERNEL", "auto")
+    if env in ("pallas", "xla", "interpret"):
+        return env
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 def sanitize(model: PackedModel, x: jax.Array) -> jax.Array:
@@ -88,6 +105,38 @@ def _stress(g_tensor: jax.Array, lam: jax.Array, mu: jax.Array) -> jax.Array:
     )
 
 
+def _forces_pallas(
+    conn: jax.Array,
+    grads: jax.Array,
+    volss: jax.Array,
+    lam: jax.Array,
+    mu: jax.Array,
+    x_sanitized: jax.Array,
+    n_local: int,
+    kernel_fn,
+    interpret: bool,
+) -> jax.Array:
+    """Shared Pallas force phase: flat row gather -> stream relayout ->
+    streaming kernel -> (E*n_local, 3) force rows.
+
+    The gather uses a FLAT index so its output stays in the natural
+    (rows, 3) layout (the fast XLA gather form); the two stream
+    relayouts are plain 2-D transposes XLA runs near bandwidth."""
+    e_pad = conn.shape[0]
+    eq = e_pad // 128
+    n_streams = n_local * 3
+    u_rows = x_sanitized[conn.reshape(-1)]  # (E*n_local, 3)
+    u_streams = u_rows.reshape(e_pad, n_streams).T.reshape(n_streams, eq, 128)
+    f = kernel_fn(
+        grads.reshape(-1, eq, 128),
+        u_streams,
+        volss.reshape(-1, eq, 128),
+        jnp.stack([lam, mu]).reshape(2, eq, 128),
+        interpret=interpret,
+    )
+    return f.reshape(n_streams, e_pad).T.reshape(-1, 3)
+
+
 def tet_forces(model: PackedModel, x_sanitized: jax.Array, stiffness_scale) -> jax.Array:
     """(T* * 4, 3) local node force rows for the tet block.
 
@@ -99,7 +148,25 @@ def tet_forces(model: PackedModel, x_sanitized: jax.Array, stiffness_scale) -> j
     the same 25 GB-class HBM blowup ADR-18 measured for hexes, just
     deferred to tet-dominant multi-million-element meshes.  The gradient
     table is stored node-major transposed (4l, 3, T*) so each of the 12
-    component reads is a contiguous (T,) stream."""
+    component reads is a contiguous (T,) stream.
+
+    On TPU, blocks aligned to BLOCK_ELEMS route to the Pallas streaming
+    kernel (ops/pallas/element_forces.py) — same math, all intermediates
+    in VMEM (ADR-20)."""
+    backend = _element_backend()
+    t_pad = model.padded_tet_count
+    if backend != "xla" and t_pad >= BLOCK_ELEMS and t_pad % BLOCK_ELEMS == 0:
+        return _forces_pallas(
+            model.conn_tet,
+            model.grads_tet,
+            model.vol_tet * stiffness_scale,
+            model.lam_tet,
+            model.mu_tet,
+            x_sanitized,
+            4,
+            tet_force_streams,
+            interpret=backend == "interpret",
+        )
     u_e = jnp.transpose(
         x_sanitized[model.conn_tet], (1, 2, 0)
     )  # (4l, 3, T) — one row gather + one relayout
@@ -143,7 +210,26 @@ def hex_forces(model: PackedModel, x_sanitized: jax.Array, stiffness_scale) -> j
     intermediates at 1.6M hexes) and XLA fuses the whole phase into a
     few full-lane elementwise kernels.  The gradient table is stored
     gp-major transposed so each of the 192 component reads is a
-    contiguous (H,) stream."""
+    contiguous (H,) stream.
+
+    On TPU, blocks aligned to BLOCK_ELEMS route to the Pallas streaming
+    kernel (ops/pallas/element_forces.py): the XLA stream form measures
+    18.6 ms for the 301k-hex phase at 945k DOF (memory-bound on unfused
+    stream intermediates), the kernel 2.0 ms, bit-identical (ADR-20)."""
+    backend = _element_backend()
+    h_pad = model.padded_hex_count
+    if backend != "xla" and h_pad >= BLOCK_ELEMS and h_pad % BLOCK_ELEMS == 0:
+        return _forces_pallas(
+            model.conn_hex,
+            model.grads_hex,
+            model.vol_hex * stiffness_scale,
+            model.lam_hex,
+            model.mu_hex,
+            x_sanitized,
+            8,
+            hex_force_streams,
+            interpret=backend == "interpret",
+        )
     u_e = jnp.transpose(
         x_sanitized[model.conn_hex], (1, 2, 0)
     )  # (8l, 3, H) — one row gather + one relayout
