@@ -59,6 +59,102 @@ from .preprocess import PreprocessOutputs
 
 _FLT_MAX = np.float32(np.finfo(np.float32).max)
 
+# Banded-window planning for the general-path gathers (ADR-20).  XLA's row
+# gather runs ~4x faster when the table operand is small enough for the
+# memory assigner to stage in VMEM (~1-4 MB); windows above these sizes or
+# meshes needing more than MAX_WINDOWS chunks fall back to the unwindowed
+# gather (always correct, HBM-rate).
+X_WINDOW_NODES = 65536  # x-gather window: rows of the (N*, 3) table
+A_WINDOW_ROWS = 196608  # assembly window: rows of the force-row table
+MAX_WINDOWS = 64
+
+
+def _plan_element_windows(
+    conn: np.ndarray, e_pad: int, window: int
+) -> tuple:
+    """Greedy chunks of elements whose corner-node ids fit a ``window``-row
+    span.  ``conn`` holds the REAL elements (sorted by min corner); padded
+    elements [len(conn), e_pad) are appended to the last chunk (their conn
+    rows are copies of the last real element).  Returns a tuple of
+    (e_start, e_count, lo, size) or () when planning fails."""
+    e = len(conn)
+    if not e:
+        return ()
+    emin = conn.min(axis=1)
+    emax = conn.max(axis=1)
+    chunks = []
+    i = 0
+    while i < e:
+        if len(chunks) >= MAX_WINDOWS:
+            return ()
+        runmax = np.maximum.accumulate(emax[i:])
+        spans = runmax - emin[i]  # emin sorted => window lo = emin[i]
+        fit = int(np.searchsorted(spans > window - 1, True))
+        if fit == 0:  # single element exceeds the window
+            return ()
+        j = min(i + fit, e)
+        lo = int(emin[i])
+        size = int(runmax[j - i - 1]) + 1 - lo
+        chunks.append([i, j - i, lo, size])
+        i = j
+    chunks[-1][1] += e_pad - e  # padded tail rides the last chunk
+    return tuple(tuple(c) for c in chunks)
+
+
+def _plan_assembly_windows(
+    conn: np.ndarray, n_pad: int, rpe: int, window_rows: int
+) -> tuple:
+    """Greedy node chunks whose incident force rows fit a ``window_rows``
+    span.  Elements are sorted by min corner, so per-node incident-element
+    ranges are monotone-ish; nodes with no incidences inherit the running
+    range.  Returns ((n_start, n_count, e_lo, e_count), ...) or ()."""
+    e = len(conn)
+    if not e:
+        return ()
+    nodes = conn.reshape(-1).astype(np.int64)
+    elems = np.repeat(np.arange(e, dtype=np.int64), conn.shape[1])
+    order = np.argsort(nodes, kind="stable")
+    nodes_s = nodes[order]
+    elems_s = elems[order]
+    counts = np.bincount(nodes_s, minlength=n_pad)
+    starts = np.zeros(n_pad, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    has = counts > 0
+    emin = np.zeros(n_pad, dtype=np.int64)
+    emax = np.zeros(n_pad, dtype=np.int64)
+    idx = np.minimum(starts, len(elems_s) - 1)
+    emin_r = np.minimum.reduceat(elems_s, idx)
+    emax_r = np.maximum.reduceat(elems_s, idx)
+    emin[has] = emin_r[has]
+    emax[has] = emax_r[has]
+    # forward-fill empty nodes with the previous real range so chunk spans
+    # stay monotone (their weights are all zero — any in-window idx works)
+    if not has.all():
+        fill = np.where(has, np.arange(n_pad), -1)
+        np.maximum.accumulate(fill, out=fill)
+        first = int(np.argmax(has)) if has.any() else 0
+        fill[fill < 0] = first if has.any() else 0
+        emin = emin[np.maximum(fill, 0)]
+        emax = emax[np.maximum(fill, 0)]
+    window_elems = window_rows // rpe
+    chunks = []
+    i = 0
+    while i < n_pad:
+        if len(chunks) >= MAX_WINDOWS:
+            return ()
+        runmax = np.maximum.accumulate(emax[i:])
+        runmin = np.minimum.accumulate(emin[i:])
+        spans = runmax - runmin
+        fit = int(np.searchsorted(spans > window_elems - 1, True))
+        if fit == 0:
+            return ()
+        j = min(i + fit, n_pad)
+        e_lo = int(runmin[j - i - 1])
+        e_cnt = int(runmax[j - i - 1]) + 1 - e_lo
+        chunks.append((i, j - i, e_lo, e_cnt))
+        i = j
+    return tuple(chunks)
+
 
 def clamp_to_f32(values: np.ndarray) -> np.ndarray:
     """fp64 -> fp32 with +/-FLT_MAX clamping (pack.cpp:41-57).
@@ -146,6 +242,15 @@ class PackedModel:
     padded_hex_count: int = field(metadata=dict(static=True), default=0)
     element_count: int = field(metadata=dict(static=True), default=0)
     csr_degree: int = field(metadata=dict(static=True), default=8)
+    # banded gather windows (ADR-20); () = unwindowed fallback.  Elements
+    # are pack-sorted by min corner node so corner ids per chunk span a
+    # bounded window of the x table, and per-node incident rows span a
+    # bounded window of the force-row table.
+    xw_tet: tuple = field(metadata=dict(static=True), default=())
+    xw_hex: tuple = field(metadata=dict(static=True), default=())
+    # assembly windows ((n_start, n_count, e_lo, e_count), ...) — planned
+    # only for single-element-type meshes (rows of one block)
+    aw: tuple = field(metadata=dict(static=True), default=())
 
     @property
     def dof_count(self) -> int:
@@ -357,12 +462,18 @@ def build_packed_model(
     mat_tet = np.zeros(t_pad, dtype=np.int32)
     if t:
         rows = preprocess.tet_connectivity
-        conn_tet[:t] = np.where(rows[:, :4] == SENTINEL, 0, rows[:, :4])
+        rows = np.where(rows[:, :4] == SENTINEL, 0, rows[:, :4])
+        # sort by min corner node: bounds the per-chunk node window for
+        # the banded x-gather and keeps per-node incident rows local for
+        # the banded assembly (ADR-20); internal order only
+        order = np.argsort(rows.min(axis=1), kind="stable")
+        conn_tet[:t] = rows[order]
+        conn_tet[t:] = conn_tet[t - 1] if t else 0  # pad inside the window
         grads_tet[:, :, :t] = clamp_to_f32(
-            preprocess.tet_gradients
+            preprocess.tet_gradients[order]
         ).transpose(1, 2, 0)
-        vol_tet[:t] = clamp_to_f32(preprocess.tet_volume)
-        mat_idx = preprocess.tet_material
+        vol_tet[:t] = clamp_to_f32(preprocess.tet_volume[order])
+        mat_idx = preprocess.tet_material[order]
         mat_tet[:t] = mat_idx
         lam_tet[:t] = clamp_to_f32(lam_np[mat_idx])
         mu_tet[:t] = clamp_to_f32(mu_np[mat_idx])
@@ -375,17 +486,23 @@ def build_packed_model(
     mat_hex = np.zeros(h_pad, dtype=np.int32)
     if h:
         rows = preprocess.hex_connectivity
-        conn_hex[:h] = np.where(rows == SENTINEL, 0, rows)
+        rows = np.where(rows == SENTINEL, 0, rows)
+        order = np.argsort(rows.min(axis=1), kind="stable")
+        conn_hex[:h] = rows[order]
+        conn_hex[h:] = conn_hex[h - 1] if h else 0  # pad inside the window
         # preprocess emits hex gradients directly in the gp-major device
         # layout — no element-major materialization or transpose at scale
-        grads_hex[:, :, :, :h] = clamp_to_f32(preprocess.hex_gradients_gp)
-        vol_hex[:, :h] = clamp_to_f32(preprocess.hex_detj)
-        mat_idx = preprocess.hex_material
+        grads_hex[:, :, :, :h] = clamp_to_f32(
+            preprocess.hex_gradients_gp[:, :, :, order]
+        )
+        vol_hex[:, :h] = clamp_to_f32(preprocess.hex_detj[:, order])
+        mat_idx = preprocess.hex_material[order]
         mat_hex[:h] = mat_idx
         lam_hex[:h] = clamp_to_f32(lam_np[mat_idx])
         mu_hex[:h] = clamp_to_f32(mu_np[mat_idx])
 
-    # padded-element conn points at node 0 with zero volume/gradients;
+    # padded-element conn repeats the last real element with zero
+    # volume/gradients (exact no-ops that stay inside gather windows);
     # restrict CSR to REAL incidences only
     csr_idx, csr_weight = _build_dual_csr(
         conn_tet[:t] if t else np.zeros((0, 4), np.int32),
@@ -393,6 +510,21 @@ def build_packed_model(
         t_pad,
         n_pad,
     )
+
+    # --- banded gather windows (ADR-20) ------------------------------------
+    xw_tet = _plan_element_windows(conn_tet[:t], t_pad, X_WINDOW_NODES) if t else ()
+    xw_hex = _plan_element_windows(conn_hex[:h], h_pad, X_WINDOW_NODES) if h else ()
+    aw = ()
+    if bool(t) != bool(h):  # single element type: rows come from one block
+        rpe = 4 if t else 8
+        conn_real = conn_tet[:t] if t else conn_hex[:h]
+        aw = _plan_assembly_windows(conn_real, n_pad, rpe, A_WINDOW_ROWS)
+        if aw:
+            # padded CSR slots point at their chunk's first row so every
+            # gathered index is window-local (weights are zero)
+            for n0, ncnt, e_lo, _e_cnt in aw:
+                pad_slots = csr_weight[n0 : n0 + ncnt] == 0.0
+                csr_idx[n0 : n0 + ncnt][pad_slots] = e_lo * rpe
 
     model = PackedModel(
         conn_tet=jnp.asarray(conn_tet),
@@ -424,5 +556,8 @@ def build_packed_model(
         padded_hex_count=h_pad,
         element_count=mesh.element_count,
         csr_degree=int(csr_idx.shape[1]),
+        xw_tet=xw_tet,
+        xw_hex=xw_hex,
+        aw=aw,
     )
     return model, zero_state(model), jnp.asarray(external_force)

@@ -10,48 +10,44 @@ per element, the isotropic product is evaluated in tensor form:
     f_l = V * scale * sum_a grad_la * S_ab
 
 which is algebraically identical to f = B^T D B u for the reference's
-isotropic Voigt D (materials.hpp:124-134) but maps onto batched einsums
-XLA fuses into one pass — no 6x24 B materialization.
+isotropic Voigt D (materials.hpp:124-134).
 
 Two phases, both gather-based (no scatter, no atomics — the reference's
 core GPU-assembly idea, docs/spec.md:35):
 
-1. per-element forces: one nodal gather per ELEMENT (hex Gauss points share
-   it), gp forces reduced per element before assembly;
-2. assembly: per-node dual-CSR gather over the concatenated force rows
+1. per-element forces: one nodal gather per ELEMENT, element math on
+   H-major component streams — the Pallas streaming kernel
+   (ops/pallas/element_forces.py) on TPU, the XLA scalar-component form
+   elsewhere;
+2. assembly: per-node gather over the per-element force rows
    (ke_gather_node.slang's CSR loop, vectorized to a fixed-degree padded
    table) — measured ~8x faster than segment_sum scatter on TPU v5e.
 
-**Memory and layout at scale (the 5M-DOF and 2M-DOF lessons, ADR-18).**
-Three rules keep the general path scaling AND fast:
+**The banded-window gather design (ADR-20).**  XLA:TPU's row gather runs
+at ~5.9 ns/row from an HBM-resident table but ~1.5-2.8 ns/row when the
+table operand is small enough (~1-4 MB) for the memory assigner to stage
+it in VMEM — and the rate is completely insensitive to index locality
+(box = Morton = random = sorted, measured).  Pack therefore sorts
+elements by min corner node and plans static windows:
 
-* big per-element temporaries are bounded by splitting along SMALL STATIC
-  axes, not by chunking the element axis: the hex force phase unrolls the
-  8 Gauss points (per-gp intermediates are (H, 3, 3) — ~1.4 KB/hex
-  lane-padded instead of ~11 KB/hex for the all-gp tensors that demanded
-  25 GB at 1.6M hexes), and assembly unrolls the D CSR neighbor slots
-  (per-slot gather fuses into its multiply-add).  Chunking the ELEMENT
-  axis was tried three ways and all failed on XLA:TPU: unrolled static
-  chunks sent the compiler pathological (a 6-chunk 945k matvec graph did
-  not finish compiling in 40 min; 18 s for one chunk; CPU compiled the
-  same HLO in 0.9 s), and both the lax.scan and fori_loop/dynamic-slice
-  chunk engines compiled but CRASHED the TPU worker at execution,
-  reproducibly.
-* tables keep their natural 2-D/3-D row shapes — connectivity ``(H*, 8)``,
-  CSR ``(N*, D)``, force rows ``(R, 3)`` — so every gather is a ROW gather
-  (``x[conn]``, ``rows[csr_idx]``), which XLA lowers to fast sublane
-  gathers.  An intermediate revision stored everything flat 1-D and
-  gathered scalars through computed indices (``rows_flat[idx * 3 + c]``);
-  that lowered to scalar gathers and measured 241 ms/matvec at 2.19M DOF
-  on v5e (~20x regression) — row-shaped gathers restored it.
-* the hex gradient/volume tables STAY stored (768 B/hex): an on-device
-  recompute from gathered corner coordinates was built and measured —
-  93 vs 47.7 ms/matvec at 945k DOF — because it trades a SEQUENTIAL
-  table stream (~0.3 ms at 945k) for a second random row gather
-  (~13 ms) plus ~3k VPU flops/hex of Jacobian math on heavily
-  lane-padded (minor-dim 3) tensors.  Tables win on runtime; the
-  measured per-piece budget at 945k is ~13 ms per row gather (x and
-  CSR), ~15-20 ms of element einsums, ~17 ms assembly.
+* x-gather: element chunks whose corner ids span <= X_WINDOW_NODES rows;
+  each chunk gathers from a dynamic_slice window with a FLAT index (flat
+  1-D indices + reshape keep the gather's output in its natural (rows,3)
+  layout — fusing a (n,8,3)-shaped consumer into the gather re-layouts
+  the output into tile-padded form and halves throughput);
+* assembly: node chunks whose incident force rows span <= A_WINDOW_ROWS;
+  each chunk TRANSPOSES its (S, Ec) stream segment into a physically
+  small (Ec*rpe, 3) row table, gathers flat, and applies the CSR weights
+  in a separate pass behind an optimization_barrier (a weighted-sum
+  consumer fused into the gather also kills the fast path, measured).
+
+Falls back to the unwindowed forms when pack planned no windows (mixed
+tet+hex meshes, bands over the window size, >64 chunks) — identical
+semantics at HBM gather rate.
+
+Memory/layout rules from ADR-18 still hold: element temporaries bounded
+by unrolling SMALL static axes (gp, CSR slots), tables keep natural row
+shapes, gradient tables stay stored (recompute measured slower).
 
 Semantics preserved exactly (pcg.cpp:530-686):
 * input is sanitized — constrained components read as zero;
@@ -86,13 +82,24 @@ def _element_backend() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def _use_windows() -> bool:
+    """Banded gather windows are a TPU gather-emitter optimization; CPU
+    keeps the simpler unwindowed graphs (same semantics, faster compile).
+    Override with CIVIWAVE_GATHER_WINDOWS=0/1 (tests force 1 on CPU)."""
+    env = os.environ.get("CIVIWAVE_GATHER_WINDOWS", "auto")
+    if env in ("0", "1"):
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
 def sanitize(model: PackedModel, x: jax.Array) -> jax.Array:
     """Zero constrained components (pcg.cpp:535-546)."""
     return jnp.where(model.bc_mask, 0.0, x)
 
 
 def _stress(g_tensor: jax.Array, lam: jax.Array, mu: jax.Array) -> jax.Array:
-    """Isotropic Cauchy stress from the displacement gradient.
+    """Isotropic Cauchy stress from the displacement gradient — the all-gp
+    einsum reference form used by parity tests (tests/test_pcg.py).
 
     g_tensor: (..., 3, 3); lam/mu broadcastable to (...,).
     """
@@ -105,152 +112,54 @@ def _stress(g_tensor: jax.Array, lam: jax.Array, mu: jax.Array) -> jax.Array:
     )
 
 
-def _forces_pallas(
-    conn: jax.Array,
-    grads: jax.Array,
-    volss: jax.Array,
-    lam: jax.Array,
-    mu: jax.Array,
-    x_sanitized: jax.Array,
-    n_local: int,
-    kernel_fn,
-    interpret: bool,
+def _u_streams(
+    xs: jax.Array, conn: jax.Array, windows: tuple, n_local: int
 ) -> jax.Array:
-    """Shared Pallas force phase: flat row gather -> stream relayout ->
-    streaming kernel -> (E*n_local, 3) force rows.
+    """(nl*3, E) displacement component streams.
 
-    The gather uses a FLAT index so its output stays in the natural
-    (rows, 3) layout (the fast XLA gather form); the two stream
-    relayouts are plain 2-D transposes XLA runs near bandwidth."""
+    Windowed form: per element chunk, gather flat from the chunk's
+    dynamic_slice window, materialize behind a barrier (keeps the gather
+    output in its natural (rows, 3) layout — fusing the stream transpose
+    into the gather re-layouts its output and costs ~2x, measured), then
+    transpose per chunk (the small per-window transposes are free where
+    one full-size (E,24)->(24,E) transpose costs ~4.5 ms at 300k hexes)."""
     e_pad = conn.shape[0]
-    eq = e_pad // 128
-    n_streams = n_local * 3
-    u_rows = x_sanitized[conn.reshape(-1)]  # (E*n_local, 3)
-    u_streams = u_rows.reshape(e_pad, n_streams).T.reshape(n_streams, eq, 128)
-    f = kernel_fn(
-        grads.reshape(-1, eq, 128),
-        u_streams,
-        volss.reshape(-1, eq, 128),
-        jnp.stack([lam, mu]).reshape(2, eq, 128),
-        interpret=interpret,
-    )
-    return f.reshape(n_streams, e_pad).T.reshape(-1, 3)
+    s = n_local * 3
+    if not windows or not _use_windows():
+        return xs[conn.reshape(-1)].reshape(e_pad, s).T
+    parts = []
+    for e0, ec, lo, size in windows:
+        win = jax.lax.dynamic_slice(xs, (lo, 0), (size, 3))
+        idx = conn[e0 : e0 + ec].reshape(-1) - lo
+        g = jax.lax.optimization_barrier(win[idx])
+        parts.append(g.reshape(ec, s).T)
+    return jnp.concatenate(parts, axis=1)
 
 
-def tet_forces(model: PackedModel, x_sanitized: jax.Array, stiffness_scale) -> jax.Array:
-    """(T* * 4, 3) local node force rows for the tet block.
-
-    SCALAR-COMPONENT form like :func:`hex_forces` (single quadrature
-    point): every quantity is a (T,)-shaped component stream combined
-    with statically-unrolled sums over the 4 local nodes and 3 axes, so
-    no (..., 4, 3)- or (..., 3, 3)-minor-dim intermediate materializes.
-    The einsum form lane-padded those tensors to ~KB per tet on TPU —
-    the same 25 GB-class HBM blowup ADR-18 measured for hexes, just
-    deferred to tet-dominant multi-million-element meshes.  The gradient
-    table is stored node-major transposed (4l, 3, T*) so each of the 12
-    component reads is a contiguous (T,) stream.
-
-    On TPU, blocks aligned to BLOCK_ELEMS route to the Pallas streaming
-    kernel (ops/pallas/element_forces.py) — same math, all intermediates
-    in VMEM (ADR-20)."""
-    backend = _element_backend()
-    t_pad = model.padded_tet_count
-    if backend != "xla" and t_pad >= BLOCK_ELEMS and t_pad % BLOCK_ELEMS == 0:
-        return _forces_pallas(
-            model.conn_tet,
-            model.grads_tet,
-            model.vol_tet * stiffness_scale,
-            model.lam_tet,
-            model.mu_tet,
-            x_sanitized,
-            4,
-            tet_force_streams,
-            interpret=backend == "interpret",
-        )
-    u_e = jnp.transpose(
-        x_sanitized[model.conn_tet], (1, 2, 0)
-    )  # (4l, 3, T) — one row gather + one relayout
-    u = [[u_e[l, b] for b in range(3)] for l in range(4)]
-    gr = [[model.grads_tet[l, a] for a in range(3)] for l in range(4)]
-    lam, mu = model.lam_tet, model.mu_tet
-    vs = model.vol_tet * stiffness_scale
-    # G_ab = sum_l dN_la u_lb  (displacement gradient)
-    G = [
-        [sum(gr[l][a] * u[l][b] for l in range(4)) for b in range(3)]
-        for a in range(3)
-    ]
-    tr = G[0][0] + G[1][1] + G[2][2]
-    # S_ab = V s (lam tr d_ab + mu (G_ab + G_ba))
-    S = [
-        [
-            vs * (mu * (G[a][b] + G[b][a]) + (lam * tr if a == b else 0.0))
-            for b in range(3)
-        ]
-        for a in range(3)
-    ]
-    f = [
-        [sum(gr[l][a] * S[a][b] for a in range(3)) for b in range(3)]
-        for l in range(4)
-    ]
-    out = jnp.stack(
-        [jnp.stack(fl, axis=-1) for fl in f], axis=1
-    )  # (T, 4l, 3)
-    return out.reshape(-1, 3)
-
-
-def hex_forces(model: PackedModel, x_sanitized: jax.Array, stiffness_scale) -> jax.Array:
-    """(H* * 8, 3) gp-reduced local node force rows for the hex block.
-
-    SCALAR-COMPONENT form: every quantity is an (H,)-shaped component
-    stream — the displacement-gradient/stress tensor components, the
-    per-node force components — combined with statically-unrolled sums
-    over Gauss points, local nodes and axes.  No (..., 3, 3)- or
-    (..., 8, 3)-minor-dim intermediate ever materializes, so there is no
-    lane-padding blowup (the all-gp einsum form demanded 25 GB of padded
-    intermediates at 1.6M hexes) and XLA fuses the whole phase into a
-    few full-lane elementwise kernels.  The gradient table is stored
-    gp-major transposed so each of the 192 component reads is a
-    contiguous (H,) stream.
-
-    On TPU, blocks aligned to BLOCK_ELEMS route to the Pallas streaming
-    kernel (ops/pallas/element_forces.py): the XLA stream form measures
-    18.6 ms for the 301k-hex phase at 945k DOF (memory-bound on unfused
-    stream intermediates), the kernel 2.0 ms, bit-identical (ADR-20)."""
-    backend = _element_backend()
-    h_pad = model.padded_hex_count
-    if backend != "xla" and h_pad >= BLOCK_ELEMS and h_pad % BLOCK_ELEMS == 0:
-        return _forces_pallas(
-            model.conn_hex,
-            model.grads_hex,
-            model.vol_hex * stiffness_scale,
-            model.lam_hex,
-            model.mu_hex,
-            x_sanitized,
-            8,
-            hex_force_streams,
-            interpret=backend == "interpret",
-        )
-    u_e = jnp.transpose(
-        x_sanitized[model.conn_hex], (1, 2, 0)
-    )  # (8l, 3, H) — one row gather + one relayout
-    u = [[u_e[l, b] for b in range(3)] for l in range(8)]
-    lam, mu = model.lam_hex, model.mu_hex
-    f = [[None] * 3 for _ in range(8)]
-    for g in range(8):
+def _stream_math(
+    u_streams, grad_stream, vol_stream, lam, mu, n_local: int, n_gp: int
+):
+    """XLA scalar-component force math: every quantity an (E,)-shaped
+    stream combined by statically-unrolled sums over gp/l/axis, so no
+    (..., nl, 3)-minor-dim intermediate materializes (ADR-18).  Returns
+    the (nl*3, E) force stream stack."""
+    u = [[u_streams[l * 3 + b] for b in range(3)] for l in range(n_local)]
+    f = [[None] * 3 for _ in range(n_local)]
+    for g in range(n_gp):
         gr = [
-            [model.grads_hex[g, l, a] for a in range(3)] for l in range(8)
+            [grad_stream(g, l, a) for a in range(3)] for l in range(n_local)
         ]
-        vs = model.vol_hex[g] * stiffness_scale
+        vs = vol_stream(g)
         # G_ab = sum_l dN_la u_lb  (displacement gradient)
         G = [
             [
-                sum(gr[l][a] * u[l][b] for l in range(8))
+                sum(gr[l][a] * u[l][b] for l in range(n_local))
                 for b in range(3)
             ]
             for a in range(3)
         ]
         tr = G[0][0] + G[1][1] + G[2][2]
-        # S_ab = V_g s (lam tr d_ab + mu (G_ab + G_ba))
+        # S_ab = V s (lam tr d_ab + mu (G_ab + G_ba))
         S = [
             [
                 vs
@@ -262,28 +171,111 @@ def hex_forces(model: PackedModel, x_sanitized: jax.Array, stiffness_scale) -> j
             ]
             for a in range(3)
         ]
-        for l in range(8):
+        for l in range(n_local):
             for b in range(3):
                 contrib = sum(gr[l][a] * S[a][b] for a in range(3))
                 f[l][b] = contrib if f[l][b] is None else f[l][b] + contrib
-    out = jnp.stack(
-        [jnp.stack(fl, axis=-1) for fl in f], axis=1
-    )  # (H, 8l, 3)
-    return out.reshape(-1, 3)
+    return jnp.stack([f[l][b] for l in range(n_local) for b in range(3)])
+
+
+def _force_streams(
+    model: PackedModel, x_sanitized: jax.Array, stiffness_scale, block: str
+) -> jax.Array:
+    """(nl*3, E*) force component streams for one element block."""
+    if block == "tet":
+        conn, windows = model.conn_tet, model.xw_tet
+        grads, vol = model.grads_tet, model.vol_tet
+        lam, mu = model.lam_tet, model.mu_tet
+        n_local, n_gp, kernel = 4, 1, tet_force_streams
+    else:
+        conn, windows = model.conn_hex, model.xw_hex
+        grads, vol = model.grads_hex, model.vol_hex
+        lam, mu = model.lam_hex, model.mu_hex
+        n_local, n_gp, kernel = 8, 8, hex_force_streams
+    e_pad = conn.shape[0]
+    n_streams = n_local * 3
+    us = _u_streams(x_sanitized, conn, windows, n_local)
+    backend = _element_backend()
+    if backend != "xla" and e_pad >= BLOCK_ELEMS and e_pad % BLOCK_ELEMS == 0:
+        eq = e_pad // 128
+        f = kernel(
+            grads.reshape(-1, eq, 128),
+            us.reshape(n_streams, eq, 128),
+            (vol * stiffness_scale).reshape(-1, eq, 128),
+            jnp.stack([lam, mu]).reshape(2, eq, 128),
+            interpret=backend == "interpret",
+        )
+        return f.reshape(n_streams, e_pad)
+    if block == "tet":
+        vs = vol * stiffness_scale
+        return _stream_math(
+            us,
+            lambda g, l, a: grads[l, a],
+            lambda g: vs,
+            lam,
+            mu,
+            n_local,
+            n_gp,
+        )
+    volss = vol * stiffness_scale
+    return _stream_math(
+        us,
+        lambda g, l, a: grads[g, l, a],
+        lambda g: volss[g],
+        lam,
+        mu,
+        n_local,
+        n_gp,
+    )
+
+
+def tet_forces(model: PackedModel, x_sanitized: jax.Array, stiffness_scale) -> jax.Array:
+    """(T* * 4, 3) local node force rows for the tet block."""
+    f = _force_streams(model, x_sanitized, stiffness_scale, "tet")
+    return f.T.reshape(-1, 3)
+
+
+def hex_forces(model: PackedModel, x_sanitized: jax.Array, stiffness_scale) -> jax.Array:
+    """(H* * 8, 3) gp-reduced local node force rows for the hex block."""
+    f = _force_streams(model, x_sanitized, stiffness_scale, "hex")
+    return f.T.reshape(-1, 3)
 
 
 def assemble(model: PackedModel, rows: jax.Array) -> jax.Array:
     """Per-node gather-sum over the dual CSR (ke_gather_node analogue).
 
-    rows: (R, 3) concatenated tet + hex force rows (row gathers — see the
-    module docstring's layout lesson).  The neighbor-slot axis is
-    unrolled: each slot's gather fuses into its multiply-add, so nothing
-    (N*, D, 3)-shaped materializes at any mesh size."""
+    rows: (R, 3) concatenated tet + hex force rows.  The neighbor-slot
+    axis is unrolled: each slot's gather fuses into its multiply-add, so
+    nothing (N*, D, 3)-shaped materializes at any mesh size.  Unwindowed
+    fallback path (mixed meshes / oversize bands)."""
     out = None
     for d in range(model.csr_degree):
         term = rows[model.csr_idx[:, d]] * model.csr_weight[:, d, None]
         out = term if out is None else out + term
     return out
+
+
+def _assemble_windowed(
+    model: PackedModel, f_streams: jax.Array, rpe: int
+) -> jax.Array:
+    """Banded assembly: per node chunk, transpose the (S, Ec) stream
+    segment into a small physical row table, flat-gather the chunk's CSR
+    indices from it, then apply weights behind a barrier (ADR-20)."""
+    d = model.csr_degree
+    outs = []
+    for n0, ncnt, e_lo, e_cnt in model.aw:
+        seg = jax.lax.dynamic_slice(
+            f_streams, (0, e_lo), (f_streams.shape[0], e_cnt)
+        )
+        rows_c = seg.T.reshape(-1, 3)  # (e_cnt*rpe, 3) small table
+        idx = model.csr_idx[n0 : n0 + ncnt].reshape(-1) - e_lo * rpe
+        g = jax.lax.optimization_barrier(rows_c[idx])
+        gw = g.reshape(ncnt, d, 3)
+        w = model.csr_weight[n0 : n0 + ncnt]
+        outs.append(
+            sum(gw[:, k, :] * w[:, k : k + 1] for k in range(d))
+        )
+    return jnp.concatenate(outs, axis=0)
 
 
 def element_force_rows(
@@ -312,7 +304,15 @@ def apply_keff(
     scalars (they change with adaptive dt, newmark_stepper.cpp:1322-1326).
     """
     xs = sanitize(model, x)
-    rows = element_force_rows(model, xs, stiffness_scale)
-    out = assemble(model, rows)
+    if model.aw and _use_windows():
+        # single-block banded path: keep forces in stream form; the
+        # per-chunk transposes inside the assembly replace the full-size
+        # rows relayout
+        block = "tet" if model.padded_tet_count else "hex"
+        f = _force_streams(model, xs, stiffness_scale, block)
+        out = _assemble_windowed(model, f, 4 if block == "tet" else 8)
+    else:
+        rows = element_force_rows(model, xs, stiffness_scale)
+        out = assemble(model, rows)
     out = out + (mass_factor * model.lumped_mass)[:, None] * xs
     return jnp.where(model.bc_mask, x, out)

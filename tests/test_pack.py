@@ -35,9 +35,11 @@ def test_padded_sizing_and_noop_padding(packed):
     bc = np.asarray(model.bc_mask)
     assert bc[model.node_count :].all()
     assert (np.asarray(model.lumped_mass)[model.node_count :] == 0).all()
-    # padded hex rows: node-0 conn, zero volume => zero force contribution
+    # padded hex rows repeat the last real element's conn (keeps gather
+    # windows tight, ADR-20) with zero volume => zero force contribution
     conn = np.asarray(model.conn_hex)
-    assert (conn[model.hex_count :] == 0).all()
+    assert (conn[model.hex_count :] == conn[model.hex_count - 1]).all()
+    assert (conn[model.hex_count :] < model.node_count).all()
     vol = np.asarray(model.vol_hex).T  # (H*, 8gp) element-major view
     assert (vol[model.hex_count :] == 0).all()
     # real rows: gp volumes sum to the cell volume (unit box cells)
