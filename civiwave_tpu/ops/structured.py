@@ -352,7 +352,13 @@ def _interior_dispatch(
     """
     _, _, y, z = xs.shape
     large = int(np.prod(model.grid_shape)) > _FLAT_INTERIOR_NODE_THRESHOLD
-    if large and model.use_pallas and jax.default_backend() == "tpu":
+    if (
+        large
+        and model.use_pallas
+        and xs.dtype == jnp.float32  # kernels are f32-only (fp64 vector
+        # mode takes the XLA forms)
+        and jax.default_backend() == "tpu"
+    ):
         from .pallas.structured_stencil import interior_stencil_pallas, plane_fits
 
         if plane_fits(y, z):
@@ -529,24 +535,17 @@ def _apply_heterogeneous_stiffness(model: StructuredModel, xs: jax.Array) -> jax
 
 
 def _apply_fused_pallas(model: StructuredModel, x, stiffness_scale, mass_factor):
-    """Large-grid TPU path: ONE pallas_call carries sanitize + interior
-    stencil + mass + identity rows (every XLA envelope pass around a custom
-    call costs ~1.5 ms of HBM at 50M DOF); only the small boundary ghost
-    corrections run outside, sanitized per-plane and masked off constrained
-    rows so the kernel's identity rows survive."""
+    """Large-grid TPU path: ONE pallas_call carries the ENTIRE operator —
+    sanitize + interior stencil + every boundary ghost correction + mass +
+    identity rows.  Two prior generations left work outside the kernel and
+    paid for it in HBM passes: the XLA envelope around the interior-only
+    kernel cost ~1.5 ms per pass at 50M DOF, and the six face-correction
+    updates another 5.25 ms of the 10.4 ms matvec (ADR-21; now 4.7 ms)."""
     from .pallas.structured_stencil import apply_keff_fused_pallas
 
     tables = _stencil_tables(model.spacing, model.lam0, model.mu0)
     ss = jnp.asarray(stiffness_scale, jnp.float32)
-    out = apply_keff_fused_pallas(model, x, ss, mass_factor, tables[0])
-    hi = (model.nx, model.ny, model.nz)
-    for (axis, side) in tables[1]:
-        plane_sl, corr = _face_correction(
-            model, x, axis, side, tables, sanitize=True
-        )
-        free = 1.0 - model.bc_mask[plane_sl].astype(jnp.float32)
-        out = out.at[plane_sl].add(-ss * corr * free)
-    return out
+    return apply_keff_fused_pallas(model, x, ss, mass_factor, tables)
 
 
 def apply_keff_structured(

@@ -145,20 +145,26 @@ def _local_keff(
     if use_kernel:
         from .pallas.structured_stencil import apply_keff_fused_pallas_padded
 
-        # kernel emits the FINAL value (identity rows included); the
-        # corrections below must therefore be masked off constrained rows
-        out = apply_keff_fused_pallas_padded(
-            x_pad, bc_pad, mass_loc, ss, mf, interior, interpret=interpret
+        # the kernel IS the complete operator (interior + every boundary
+        # correction + mass + identity rows).  The two global X faces are
+        # identified by LOCAL plane index on their owning shard and -1
+        # (never matches a grid step) elsewhere; Y/Z face strips are
+        # handled in-kernel on every shard, their X-direction taps reading
+        # the exchanged ghost planes.
+        owner_hi = nx // x_local
+        x_lo = jnp.where(idx == 0, 0, -1)
+        x_hi = jnp.where(idx == owner_hi, nx - owner_hi * x_local, -1)
+        return apply_keff_fused_pallas_padded(
+            x_pad, bc_pad, mass_loc, ss, mf, tables, ny, nz, x_lo, x_hi,
+            interpret=interpret,
         )
-        mask_free = True
+
+    if large:
+        inter = _interior_flat(xs_pad, interior, x_prepadded=True)
     else:
-        if large:
-            inter = _interior_flat(xs_pad, interior, x_prepadded=True)
-        else:
-            inter = _apply_taps(xs_pad, interior, prepad_axis=0)
-        xs_loc = xs_pad[:, 1:-1]
-        out = ss * inter + (mf * mass_loc)[None] * xs_loc
-        mask_free = False
+        inter = _apply_taps(xs_pad, interior, prepad_axis=0)
+    xs_loc = xs_pad[:, 1:-1]
+    out = ss * inter + (mf * mass_loc)[None] * xs_loc
 
     # --- boundary corrections (all slabs own a strip of the Y/Z faces) ---
     for axis in (1, 2):
@@ -185,11 +191,7 @@ def _local_keff(
             sl = [slice(None)] * 4
             sl[1 + axis] = pos
             sl = tuple(sl)
-            if mask_free:
-                free = 1.0 - bc_loc[sl].astype(jnp.float32)
-                out = out.at[sl].add(-ss * corr * free)
-            else:
-                out = out.at[sl].add(-ss * corr)
+            out = out.at[sl].add(-ss * corr)
 
     # --- X faces: one global plane each, applied on the owning shard ---
     for side in (0, 1):
@@ -220,12 +222,6 @@ def _local_keff(
             )
             corr = corr + mask * _matvec_const(plane, ctaps)
         corr = corr * jnp.where(idx == owner, 1.0, 0.0)
-        if mask_free:
-            free = 1.0 - bc_loc[:, lp].astype(jnp.float32)
-            out = out.at[:, lp].add(-ss * corr * free)
-        else:
-            out = out.at[:, lp].add(-ss * corr)
+        out = out.at[:, lp].add(-ss * corr)
 
-    if not mask_free:
-        out = jnp.where(bc_loc, x_loc, out)
-    return out
+    return jnp.where(bc_loc, x_loc, out)

@@ -48,8 +48,11 @@ def _make_fused_kernel_v2(taps: np.ndarray, y: int, z: int):
         }
         planes = {dx: raw[dx] * free[dx] for dx in (-1, 0, 1)}
 
-        # dy-shifted masked variants, shared across dz/b
-        fvar = {}
+        # accumulate into dz groups (no z shifts inside).  Each dy-shifted
+        # masked variant is built and fully consumed before the next one so
+        # at most one variant is live alongside the 9 accumulators (all 27
+        # live at once blew the 16 MB scoped-vmem limit at 256^2 planes).
+        acc = {dz: [None, None, None] for dz in (-1, 0, 1)}
         for dx in (-1, 0, 1):
             for c in range(3):
                 for dy in (-1, 0, 1):
@@ -59,20 +62,12 @@ def _make_fused_kernel_v2(taps: np.ndarray, y: int, z: int):
                     if dy:
                         v = pltpu.roll(v, np.int32((-dy) % y), axis=0)
                         v = jnp.where(row_cond[dy], v, 0.0)
-                    fvar[(dx, c, dy)] = v
-
-        # accumulate into dz groups (no z shifts inside)
-        acc = {dz: [None, None, None] for dz in (-1, 0, 1)}
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dz in (-1, 0, 1):
-                    blk = taps[dx + 1, dy + 1, dz + 1]
-                    for b in range(3):
-                        for c in range(3):
-                            w = float(blk[b, c])
+                    for dz in (-1, 0, 1):
+                        for b in range(3):
+                            w = float(taps[dx + 1, dy + 1, dz + 1, b, c])
                             if w == 0.0:
                                 continue
-                            term = np.float32(w) * fvar[(dx, c, dy)]
+                            term = np.float32(w) * v
                             a = acc[dz][b]
                             acc[dz][b] = term if a is None else a + term
 
@@ -134,6 +129,9 @@ def apply_v2(model, x, stiffness_scale, mass_factor, interior_taps):
         out_shape=jax.ShapeDtypeStruct((3, x_planes, y, z), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=3 * x_pad.size * 4, transcendentals=0
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
     )(ss, mf, x_pad, x_pad, x_pad, bc_pad, bc_pad, bc_pad, model.mass_grid)
 

@@ -1,32 +1,28 @@
-"""Pallas TPU kernel: slab-resident 27-point block stencil (interior term).
+"""Fused-stencil v3: v2 interior + IN-KERNEL boundary corrections.
 
-The XLA forms of the assembled constant stencil (ops/structured.py) read
-the node grid once per shifted window — up to 27x the vector's footprint in
-HBM traffic.  This kernel walks the X axis one output plane per grid step;
-the three input planes it needs live in VMEM (Pallas pipelines the plane
-loads across grid steps automatically), so HBM sees each plane O(1) times
-and the VPU runs the ~230 nonzero scalar taps back-to-back on (Y, Z) vregs.
+The measured 50.3M-DOF matvec decomposition (experiments/stencil_decomp):
+10.43 ms full = 5.18 fused kernel + 5.25 XLA face-correction envelope.
+The envelope's cost is layout-hostile z-plane extraction plus six
+full-array `.at[].add` updates.  v3 folds ALL corrections into the kernel:
 
-Plumbing matters as much as the kernel (measured at 50M DOF on v5e): an
-earlier version transposed to X-major and materialized three plane-shifted
-copies of the array around the call — the kernel alone won 2x (7.9 ms vs
-15.5 XLA) but the copies ate the entire win in the full operator.  This
-version blocks the native ``(3, X, Y, Z)`` array directly (component dim
-covered by one block) and expresses the -1/0/+1 plane offsets as index maps
-over a single once-padded array, which requires one output plane per grid
-step.
+* y-face corrections: (1, z) row slices of the three resident planes,
+  dz rolls on 2-vreg rows, row RMW into out_ref — every step, ~free;
+* z-face corrections: (y, 1) col slices, dy rolls, col RMW — every step;
+* x-face corrections (2-D stencil + its edges + corners): full-plane work
+  under `pl.when(i == x_face_idx)` — only on the 2 owning grid steps;
+  the face indices arrive as SMEM scalars so the sharded path can pass
+  `where(axis_index == owner, local_plane, -1)`.
 
-Shifted (dy, dz) windows inside a plane are ``pltpu.roll`` + an in-kernel
-iota edge mask (zero-padding semantics: the wrapped row/column must read as
-zero; captured numpy masks would be forbidden constants).
-
-Used on the TPU backend for LARGE unsharded grids only — on small planes
-the per-op overhead loses to the fused XLA stencil (0.95 vs 0.84 ms at 945k
-DOF), and under GSPMD a pallas_call does not partition (shard_structured
-keeps the XLA form).  CPU tests run it in interpreter mode.
+Validates elementwise vs the XLA apply_keff_structured on asymmetric and
+x-padded grids (on TPU), then times at 255^3.
 """
 
-from __future__ import annotations
+import os
+import sys
+import time
+from dataclasses import replace
+
+sys.path.insert(0, os.getcwd())
 
 import jax
 import jax.numpy as jnp
@@ -34,153 +30,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# one (3, Y, Z) plane must fit VMEM comfortably alongside the pipeline's
-# double buffers: 4 plane buffers x 2 x 4 bytes
-_MAX_PLANE_FLOATS = 192 * 1024
+from civiwave_tpu.mesh.structured import build_structured_model
+from civiwave_tpu.ops import structured as st
+from civiwave_tpu.physics import materials
+from civiwave_tpu.utils.synthetic import cantilever_config
 
 
-def plane_fits(y: int, z: int) -> bool:
-    """Whether a (Y, Z) plane is small enough for the slab kernel."""
-    yp = ((y + 7) // 8) * 8
-    zp = ((z + 127) // 128) * 128
-    return yp * zp <= _MAX_PLANE_FLOATS
-
-
-def _make_kernel(taps: np.ndarray, y: int, z: int):
-    """taps: (3, 3, 3, 3, 3) — (dx+1, dy+1, dz+1, b, c) scalar constants."""
-
-    def kernel(xm_ref, x0_ref, xp_ref, out_ref):
-        # refs: (3, 1, y, z) at plane offsets -1 / 0 / +1 (the caller pads
-        # X by one zero plane per side, so offsets are always in range)
-        planes = {-1: xm_ref[:, 0], 0: x0_ref[:, 0], 1: xp_ref[:, 0]}
-        # edge masks per (dy, dz) built in-kernel from iota (a captured
-        # numpy mask array would be a constant, which pallas forbids):
-        # zero the row/col that a roll wrapped around
-        row = jax.lax.broadcasted_iota(jnp.int32, (y, z), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (y, z), 1)
-        row_cond = {-1: row >= 1, 0: None, 1: row < y - 1}
-        col_cond = {-1: col >= 1, 0: None, 1: col < z - 1}
-        masks = {}
-        for dy in (-1, 0, 1):
-            for dz in (-1, 0, 1):
-                cond = row_cond[dy]
-                if col_cond[dz] is not None:
-                    cond = (
-                        col_cond[dz]
-                        if cond is None
-                        else jnp.logical_and(cond, col_cond[dz])
-                    )
-                masks[(dy, dz)] = cond  # None => no masking needed
-        acc = [None, None, None]
-        for dx in (-1, 0, 1):
-            plane = planes[dx]  # (3, y, z)
-            for dy in (-1, 0, 1):
-                for dz in (-1, 0, 1):
-                    blk = taps[dx + 1, dy + 1, dz + 1]  # (3, 3)
-                    if not blk.any():
-                        continue
-                    mask = masks[(dy, dz)]
-                    for c in range(3):
-                        col_w = blk[:, c]
-                        if not col_w.any():
-                            continue
-                        f = plane[c]
-                        # pltpu.roll wants non-negative shifts; -d == size-d
-                        # (int32: x64 mode would emit an i64 rotate operand,
-                        # which tpu.dynamic_rotate rejects)
-                        if dy:
-                            f = pltpu.roll(f, np.int32((-dy) % y), axis=0)
-                        if dz:
-                            f = pltpu.roll(f, np.int32((-dz) % z), axis=1)
-                        if mask is not None:
-                            f = jnp.where(mask, f, 0.0)
-                        for b in range(3):
-                            w = float(col_w[b])
-                            if w == 0.0:
-                                continue
-                            term = np.float32(w) * f
-                            acc[b] = term if acc[b] is None else acc[b] + term
-        out_ref[:, 0] = jnp.stack(
-            [a if a is not None else jnp.zeros((y, z), jnp.float32) for a in acc]
-        )
-
-    return kernel
-
-
-def interior_stencil_pallas(
-    xs: jax.Array, taps: np.ndarray, *, interpret: bool = False
-) -> jax.Array:
-    """Apply the interior 27-point block stencil to ``xs`` (3, X, Y, Z)."""
-    _, x_planes, y, z = xs.shape
-    kernel = _make_kernel(np.asarray(taps, np.float64), y, z)
-    # one zero plane of X padding per side keeps the -1/0/+1 plane index
-    # maps in range (and provides the zero-padding semantics in x)
-    xs_pad = jnp.pad(xs, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    # index maps must return i32 under x64 mode — `x * 0` keeps the program
-    # id's dtype where a literal `0` would trace as a weak i64
-    spec = lambda offset: pl.BlockSpec(  # noqa: E731
-        (3, 1, y, z),
-        lambda x, o=offset: (x * 0, x + o, x * 0, x * 0),
-        memory_space=pltpu.VMEM,
-    )
-    flops = 2 * int((np.asarray(taps) != 0).sum()) * x_planes * y * z
-    return pl.pallas_call(
-        kernel,
-        grid=(x_planes,),
-        in_specs=[spec(0), spec(1), spec(2)],
-        out_specs=pl.BlockSpec(
-            (3, 1, y, z),
-            lambda x: (x * 0, x, x * 0, x * 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(xs.shape, jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=2 * xs.size * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(xs_pad, xs_pad, xs_pad)
-
-
-# ---------------------------------------------------------------------------
-# fully-fused operator kernel: sanitize + interior + ALL boundary
-# corrections + mass + identity rows
-# ---------------------------------------------------------------------------
-
-
-def _make_fused_kernel(tables, y: int, z: int, ny: int, nz: int):
-    """The COMPLETE K_eff per output plane: inputs are RAW x planes plus
-    int8 constraint planes; the kernel sanitizes each input plane, runs the
-    interior taps, subtracts every boundary ghost correction (faces, edges,
-    corners — the inclusion-exclusion tables of ADR-8), adds the mass term
-    and emits the FINAL value ``bc ? x_raw : ss*(interior - corr) +
-    mf*mass*xs``.
-
-    Two measured designs it folds (50.3M DOF on v5e, ADR-21):
-
-    * the interior loop accumulates into dz groups and applies each dz roll
-      ONCE per output component after accumulation ("postroll": 15 rolls
-      per plane instead of ~52); each dy-shifted variant is built and fully
-      consumed before the next so at most one variant is live alongside the
-      9 accumulators (all 27 at once blew the 16 MB scoped-vmem limit);
-    * the XLA correction envelope around the previous kernel cost 5.25 ms
-      of the 10.4 ms matvec — strided z-plane extraction plus six
-      full-array ``.at[].add`` updates.  In-kernel, the y/z-face
-      corrections are (1, z)/(y, 1) row/col slices of the resident planes
-      RMW'd into ``out_ref`` on every grid step, and the two x-face planes
-      (2-D stencils + their edge lines + corners) run under
-      ``pl.when(i == x_face_idx)`` so they cost nothing on interior steps.
-
-    The x-face plane indices arrive as SMEM scalars: the single-chip caller
-    passes (0, nx); an X-slab shard passes its LOCAL plane index on the
-    owning shard and -1 (never matches) elsewhere, which is how one kernel
-    serves both paths.
-
-    Reference analogue: ke_apply_element.slang accumulated the same
-    boundary physics per element; here it is closed-form tap algebra.
-    """
-    interior, faces, edges, corners = tables
+def _make_kernel_v3(tables, y: int, z: int, ny: int, nz: int):
+    interior, faces, edges, corners = [np.asarray(t) if not isinstance(t, dict)
+                                       else t for t in tables]
     interior = np.asarray(interior, np.float64)
 
     def kernel(ss_ref, mf_ref, xlo_ref, xhi_ref, xm_ref, x0_ref, xp_ref,
@@ -192,9 +50,7 @@ def _make_fused_kernel(tables, y: int, z: int, ny: int, nz: int):
         col_cond = {-1: col >= 1, 1: col < z - 1}
 
         raw = {-1: xm_ref[:, 0], 0: x0_ref[:, 0], 1: xp_ref[:, 0]}
-        # constraint planes hold 0/1 int8 — Mosaic lacks i8 vector compares
-        # on this target, so derive the free-mask by cast, not comparison
-        free = {  # 1.0 on unconstrained components
+        free = {
             -1: 1.0 - bm_ref[:, 0].astype(jnp.float32),
             0: 1.0 - b0_ref[:, 0].astype(jnp.float32),
             1: 1.0 - bp_ref[:, 0].astype(jnp.float32),
@@ -210,9 +66,6 @@ def _make_fused_kernel(tables, y: int, z: int, ny: int, nz: int):
                         continue
                     v = planes[dx][c]
                     if dy:
-                        # pltpu.roll wants non-negative i32 shifts (x64 mode
-                        # would emit an i64 rotate operand, which
-                        # tpu.dynamic_rotate rejects)
                         v = pltpu.roll(v, np.int32((-dy) % y), axis=0)
                         v = jnp.where(row_cond[dy], v, 0.0)
                     for dz in (-1, 0, 1):
@@ -241,14 +94,12 @@ def _make_fused_kernel(tables, y: int, z: int, ny: int, nz: int):
         mf = mf_ref[0, 0]
         x_raw = raw[0]
         xs0 = planes[0]
-        mass = mass_ref[0]  # (y, z)
+        mass = mass_ref[0]
         out = ss * inter + (mf * mass) * xs0
-        # identity rows: free==1 keeps out, free==0 passes raw input through
         f0 = free[0]
         out_ref[:, 0] = f0 * out + (1.0 - f0) * x_raw
 
-        # ---- y-face row corrections (axis=1) with their assigned z-edge
-        # lines subtracted (inclusion-exclusion), every step ----
+        # ---- y-face row corrections (axis=1), every step ----
         colr = jax.lax.broadcasted_iota(jnp.int32, (1, z), 1)
         for side, rpos in ((0, 0), (1, ny)):
             ftaps = np.asarray(faces[(1, side)], np.float64)  # (dxt,dzt,b,c)
@@ -299,8 +150,7 @@ def _make_fused_kernel(tables, y: int, z: int, ny: int, nz: int):
             cur = out_ref[:, 0, rpos : rpos + 1, :]
             out_ref[:, 0, rpos : rpos + 1, :] = cur - ss * f0r * corr
 
-        # ---- z-face col corrections (axis=2; no edges fold here), every
-        # step ----
+        # ---- z-face col corrections (axis=2), every step ----
         rowc = jax.lax.broadcasted_iota(jnp.int32, (y, 1), 0)
         for side, cpos in ((0, 0), (1, nz)):
             ftaps = np.asarray(faces[(2, side)], np.float64)  # (dxt,dyt,b,c)
@@ -460,45 +310,15 @@ def _make_fused_kernel(tables, y: int, z: int, ny: int, nz: int):
     return kernel
 
 
-def apply_keff_fused_pallas(
-    model, x: jax.Array, stiffness_scale, mass_factor, tables,
-    *, interpret: bool = False
-) -> jax.Array:
-    """The COMPLETE K_eff * x (sanitize + stencil + all boundary
-    corrections + mass + identity rows) as one pallas_call over X planes.
-    ``tables`` is the full ``_stencil_tables`` tuple."""
-    x_pad = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
-    # int8 constraint planes: 4x less HBM than f32, bool is not a TPU type
-    bc_pad = jnp.pad(
-        model.bc_mask.astype(jnp.int8), ((0, 0), (1, 1), (0, 0), (0, 0)),
-        constant_values=1,  # out-of-range planes read as constrained => 0
-    )
-    return apply_keff_fused_pallas_padded(
-        x_pad, bc_pad, model.mass_grid, stiffness_scale, mass_factor,
-        tables, model.ny, model.nz, 0, model.nx, interpret=interpret,
-    )
-
-
-def apply_keff_fused_pallas_padded(
-    x_pad: jax.Array, bc_pad: jax.Array, mass_grid: jax.Array,
-    stiffness_scale, mass_factor, tables, ny: int, nz: int, x_lo, x_hi,
-    *, interpret: bool = False
-) -> jax.Array:
-    """Core fused call on inputs that already carry one X halo plane per
-    side — either zero/constrained padding (single chip) or real neighbor
-    ghost planes exchanged by ``ppermute`` (one shard of an X-slab
-    decomposition).  ``x_pad``/``bc_pad`` are (3, X+2, Y, Z); ``mass_grid``
-    is the local (X, Y, Z); output is (3, X, Y, Z).
-
-    ``x_lo``/``x_hi`` are the LOCAL grid-step indices of the two global X
-    faces (static ints single-chip; traced ``where(axis_index == owner,
-    local_plane, -1)`` per shard — -1 never matches a grid step)."""
+def apply_v3_padded(x_pad, bc_pad, mass_grid, ss, mf, tables, ny, nz,
+                    x_lo, x_hi):
+    """x_pad/bc_pad (3, X+2, Y, Z); x_lo/x_hi: grid-step indices of the two
+    global X faces on this shard (-1 = not owned)."""
     _, x_total, y, z = x_pad.shape
     x_planes = x_total - 2
-    kernel = _make_fused_kernel(tables, y, z, ny, nz)
+    kernel = _make_kernel_v3(tables, y, z, ny, nz)
     vec_spec = lambda offset: pl.BlockSpec(  # noqa: E731
-        (3, 1, y, z),
-        lambda i, o=offset: (i * 0, i + o, i * 0, i * 0),
+        (3, 1, y, z), lambda i, o=offset: (i * 0, i + o, i * 0, i * 0),
         memory_space=pltpu.VMEM,
     )
     smem = pl.BlockSpec((1, 1), lambda i: (i * 0, i * 0), memory_space=pltpu.SMEM)
@@ -507,22 +327,18 @@ def apply_keff_fused_pallas_padded(
     )
     interior = np.asarray(tables[0])
     flops = 2 * int((interior != 0).sum()) * x_planes * y * z
-    ss = jnp.asarray(stiffness_scale, jnp.float32).reshape(1, 1)
-    mf = jnp.asarray(mass_factor, jnp.float32).reshape(1, 1)
+    ssv = jnp.asarray(ss, jnp.float32).reshape(1, 1)
+    mfv = jnp.asarray(mf, jnp.float32).reshape(1, 1)
     xlo = jnp.asarray(x_lo, jnp.int32).reshape(1, 1)
     xhi = jnp.asarray(x_hi, jnp.int32).reshape(1, 1)
     return pl.pallas_call(
         kernel,
         grid=(x_planes,),
-        in_specs=[
-            smem, smem, smem, smem,
-            vec_spec(0), vec_spec(1), vec_spec(2),
-            vec_spec(0), vec_spec(1), vec_spec(2),
-            mass_spec,
-        ],
+        in_specs=[smem, smem, smem, smem,
+                  vec_spec(0), vec_spec(1), vec_spec(2),
+                  vec_spec(0), vec_spec(1), vec_spec(2), mass_spec],
         out_specs=pl.BlockSpec(
-            (3, 1, y, z),
-            lambda i: (i * 0, i, i * 0, i * 0),
+            (3, 1, y, z), lambda i: (i * 0, i, i * 0, i * 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((3, x_planes, y, z), jnp.float32),
@@ -530,10 +346,111 @@ def apply_keff_fused_pallas_padded(
             flops=flops, bytes_accessed=3 * x_pad.size * 4, transcendentals=0
         ),
         compiler_params=pltpu.CompilerParams(
-            # the dz-group accumulators + one live dy variant need ~22 MB
-            # of scoped VMEM at 256^2 planes; the default 16 MB cap OOMs
             vmem_limit_bytes=64 * 1024 * 1024
         ),
-        interpret=interpret,
-    )(ss, mf, xlo, xhi, x_pad, x_pad, x_pad, bc_pad, bc_pad, bc_pad,
+    )(ssv, mfv, xlo, xhi, x_pad, x_pad, x_pad, bc_pad, bc_pad, bc_pad,
       mass_grid)
+
+
+def apply_v3(model, x, ss, mf, tables):
+    x_pad = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    bc_pad = jnp.pad(
+        model.bc_mask.astype(jnp.int8), ((0, 0), (1, 1), (0, 0), (0, 0)),
+        constant_values=1,
+    )
+    return apply_v3_padded(
+        x_pad, bc_pad, model.mass_grid, ss, mf, tables,
+        model.ny, model.nz, 0, model.nx,
+    )
+
+
+INNER = 32
+
+
+def chain(fn):
+    @jax.jit
+    def run(m, x):
+        def body(_, yv):
+            return fn(m, yv) * np.float32(1e-9)
+
+        return jax.lax.fori_loop(0, INNER, body, x)
+
+    return run
+
+
+def timeit(run, model, x0, label):
+    def sync(x):
+        yv = run(model, x)
+        return float(jnp.sum(jnp.abs(yv.ravel()[:64])))
+
+    t0 = time.perf_counter()
+    sync(x0)
+    print(f"[{label}] compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        sync(x0)
+        best = min(best, time.perf_counter() - t0)
+    print(f"[{label}] {best/INNER*1e3:8.3f} ms/call", flush=True)
+    return best / INNER * 1e3
+
+
+def build(nx, ny, nz, pad_x_multiple=1):
+    cfg = cantilever_config()
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    model, _f = build_structured_model(
+        nx, ny, nz, mats[0], cfg.materials[0].density,
+        traction=(0.0, 0.0, -1.0e6), pad_x_multiple=pad_x_multiple,
+    )
+    return model
+
+
+def check(nx, ny, nz, pad_x_multiple=1):
+    m = build(nx, ny, nz, pad_x_multiple)
+    tables = st._stencil_tables(m.spacing, m.lam0, m.mu0)
+    ss = np.float32(1.3)
+    mf = np.float32(4.0e6)
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(
+        rng.standard_normal((3,) + tuple(m.grid_shape)).astype(np.float32)
+    )
+    m_xla = replace(m, use_pallas=False)
+    ref = jax.jit(
+        lambda mm, v: st.apply_keff_structured(mm, v, ss, mf)
+    )(m_xla, xs)
+    got = jax.jit(lambda mm, v: apply_v3(mm, v, ss, mf, tables))(m, xs)
+    err = float(jnp.max(jnp.abs(ref - got)))
+    scale = float(jnp.max(jnp.abs(ref)))
+    rel = err / scale
+    tag = f"{nx}x{ny}x{nz} pad{pad_x_multiple}"
+    print(f"[check {tag}] max abs {err:.3e} rel {rel:.3e}", flush=True)
+    assert rel < 5e-6, f"v3 mismatch at {tag}"
+
+
+def main():
+    check(12, 9, 10)
+    check(13, 9, 10, pad_x_multiple=8)
+    check(31, 31, 31)
+
+    n = int(os.environ.get("DECOMP_N", "255"))
+    m = build(n, n, n)
+    tables = st._stencil_tables(m.spacing, m.lam0, m.mu0)
+    ss = np.float32(1.0)
+    mf = np.float32(4.0e6)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(
+        rng.standard_normal((3,) + tuple(m.grid_shape)).astype(np.float32)
+    )
+    t_full_old = timeit(
+        chain(lambda mm, v: st.apply_keff_structured(mm, v, ss, mf)),
+        m, x0, f"v0 full-op {n}^3",
+    )
+    t_v3 = timeit(
+        chain(lambda mm, v: apply_v3(mm, v, ss, mf, tables)), m, x0,
+        f"v3 full-op {n}^3",
+    )
+    print(f"v3 speedup vs shipped full op: {t_full_old / t_v3:.2f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -347,19 +347,12 @@ def test_fused_pallas_operator_matches(both_models, rng, monkeypatch):
 
 
 def _fused_interpret(ops_mod, psten, model, x, scale, mf):
-    """Run the fused path with the kernel in interpreter mode."""
+    """Run the fused kernel (the COMPLETE operator) in interpreter mode."""
     tables = ops_mod._stencil_tables(model.spacing, model.lam0, model.mu0)
     ss = jnp.asarray(scale, jnp.float32)
-    out = psten.apply_keff_fused_pallas(
-        model, x, ss, mf, tables[0], interpret=True
+    return psten.apply_keff_fused_pallas(
+        model, x, ss, mf, tables, interpret=True
     )
-    for (axis, side) in tables[1]:
-        plane_sl, corr = ops_mod._face_correction(
-            model, x, axis, side, tables, sanitize=True
-        )
-        free = 1.0 - model.bc_mask[plane_sl].astype(jnp.float32)
-        out = out.at[plane_sl].add(-ss * corr * free)
-    return out
 
 
 def test_pcg_nonzero_dirichlet_targets_structured():
