@@ -183,6 +183,14 @@ class StructuredModel:
             return _mg.build_mg_preconditioner(
                 self, stiffness_scale, mass_factor
             )
+        if self.homogeneous:
+            # class-table compact form: identical values, no per-node
+            # table stream in the PCG loop (the 402 MB/iteration read at
+            # 50.3M DOF becomes 27 blocks expanded in-register; on TPU a
+            # one-pass Pallas kernel applies them)
+            return _ops.build_compact_block_jacobi(
+                self, stiffness_scale, mass_factor
+            )
         return _ops.build_block_jacobi_inverse_structured(
             self, stiffness_scale, mass_factor
         )
@@ -194,6 +202,10 @@ class StructuredModel:
             from ..ops import multigrid as _mg
 
             return _mg.apply_mg_preconditioner(self, block_inverse, residual)
+        if isinstance(block_inverse, _ops.CompactBlockJacobi):
+            return _ops.apply_compact_preconditioner_structured(
+                self, block_inverse, residual
+            )
         return _ops.apply_preconditioner_structured(
             self, block_inverse, residual
         )

@@ -34,7 +34,7 @@ small enough for fast compiles.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Dict, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -713,6 +713,113 @@ def apply_preconditioner_structured(
     """z = M^-1 r with constrained outputs zeroed (pcg.cpp:410-456);
     ``block_inverse`` is symmetric-packed (6, X, Y, Z)."""
     c00, c11, c22, c01, c02, c12 = block_inverse
+    r0, r1, r2 = residual
+    z = jnp.stack(
+        [
+            c00 * r0 + c01 * r1 + c02 * r2,
+            c01 * r0 + c11 * r1 + c12 * r2,
+            c02 * r0 + c12 * r1 + c22 * r2,
+        ]
+    )
+    return jnp.where(model.bc_mask, 0.0, z)
+
+
+class CompactBlockJacobi(NamedTuple):
+    """Class-table block-Jacobi inverse for HOMOGENEOUS uniform grids.
+
+    On a homogeneous grid the assembled 3x3 node block depends only on the
+    node's per-axis boundary class (low face / interior / high face): the
+    incident-cell pattern and the constant material give at most 27
+    distinct blocks, so the (6, X, Y, Z) packed inverse — the largest
+    non-matvec HBM stream of each PCG iteration, 402 MB at 50.3M DOF —
+    carries exactly the (6, 3, 3, 3) table
+
+        inv[m, i, j, k] = table[m, x_class(i), y_class(j), z_class(k)].
+
+    The apply expands coefficients in-register from one-hot class vectors;
+    on TPU a Pallas kernel does it in ONE pass over the residual (the XLA
+    3-component output stack splits into three fusions that each re-read
+    all of r — measured 2.33 ms full-table vs ~0.7 ms kernel at 50.3M
+    DOF).  Reference analogue: pcg_precondition.slang reads per-node
+    BlockInverse rows; at <=150k DOF that table fits L2 and deduplication
+    was never worth it.
+    """
+
+    table: jax.Array  # (6, 3, 3, 3) f32 — [comp, x-class, y-class, z-class]
+
+
+def build_compact_block_jacobi(
+    model: StructuredModel, stiffness_scale, mass_factor
+) -> CompactBlockJacobi:
+    """Compact form of :func:`build_block_jacobi_inverse_structured`.
+
+    Builds the full per-node inverse (hoisted by the stepper — ADR-17 —
+    so the transient build cost is amortized over dt changes) and slices
+    one representative node per class combination: class-separability of
+    the assembled blocks makes the 27 sampled blocks reproduce every
+    node's value exactly.  Dead x pad planes beyond x=nx take high-class
+    values in the apply — they are fully constrained, so their z is
+    bc-zeroed and any finite block works.  Degenerate extents (n==1: no
+    interior class) leave the interior entry unused.
+    """
+    full = build_block_jacobi_inverse_structured(
+        model, stiffness_scale, mass_factor
+    )
+    xsel = np.array([0, min(1, model.nx), model.nx])
+    ysel = np.array([0, min(1, model.ny), model.ny])
+    zsel = np.array([0, min(1, model.nz), model.nz])
+    table = full[:, xsel][:, :, ysel][:, :, :, zsel]  # (6, 3, 3, 3)
+    return CompactBlockJacobi(table=table)
+
+
+def apply_compact_preconditioner_structured(
+    model: StructuredModel, pc: CompactBlockJacobi, residual: jax.Array
+) -> jax.Array:
+    """z = M^-1 r from the class table (see :class:`CompactBlockJacobi`);
+    bitwise the full-table apply (one-hot expansion adds exact zeros)."""
+    if (
+        model.use_pallas
+        and model.shard_mesh is None
+        and residual.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+        and int(np.prod(model.grid_shape)) > _FLAT_INTERIOR_NODE_THRESHOLD
+    ):
+        from .pallas.structured_stencil import plane_fits
+
+        _, y, z = model.grid_shape
+        if plane_fits(y, z):
+            from .pallas.block_jacobi_apply import apply_block_jacobi_pallas
+
+            return apply_block_jacobi_pallas(model, pc.table, residual)
+
+    # XLA fallback (small grids, CPU, fp64 vectors, GSPMD-sharded): the
+    # coefficient grids are virtual broadcast products — never the full
+    # (6, X, Y, Z) table in HBM
+    x_planes, ys, zs = model.grid_shape
+    idx = np.arange(x_planes)
+    clsx = np.where(idx == 0, 0, np.where(idx >= model.nx, 2, 1))
+    tab_x = pc.table[:, clsx]  # (6, X, 3, 3) — static-index gather
+    jdx = np.arange(ys)
+    wy = np.eye(3, dtype=np.float32)[
+        :, np.where(jdx == 0, 0, np.where(jdx >= model.ny, 2, 1))
+    ]  # (3, Y)
+    kdx = np.arange(zs)
+    wz = np.eye(3, dtype=np.float32)[
+        :, np.where(kdx == 0, 0, np.where(kdx >= model.nz, 2, 1))
+    ]  # (3, Z)
+
+    def coef(m):  # (X, Y, Z) virtual coefficient map
+        t = tab_x[m]  # (X, 3, 3)
+        c = None
+        for a in range(3):
+            for b in range(3):
+                term = t[:, a, b][:, None, None] * jnp.asarray(
+                    (wy[a][:, None] * wz[b][None, :])[None]
+                )
+                c = term if c is None else c + term
+        return c
+
+    c00, c11, c22, c01, c02, c12 = (coef(m) for m in range(6))
     r0, r1, r2 = residual
     z = jnp.stack(
         [

@@ -355,6 +355,68 @@ def _fused_interpret(ops_mod, psten, model, x, scale, mf):
     )
 
 
+def test_compact_preconditioner_bitwise(both_models, rng):
+    """Homogeneous grids dispatch to the class-table compact block-Jacobi
+    form ((6, 3, 3, 3) table, one representative block per per-axis
+    boundary-class combination) and its apply is BITWISE the full per-node
+    (6, X, Y, Z) table apply — the assembled blocks are exactly
+    class-separable, so deduplication loses nothing.  Covers the XLA
+    expansion AND the Pallas kernel (interpret mode).  Reference analogue:
+    pcg_precondition.slang always reads per-node rows; at <=150k DOF the
+    table fits cache and deduplication was never worth it."""
+    from civiwave_tpu.ops import structured as sops
+    from civiwave_tpu.ops.pallas.block_jacobi_apply import (
+        apply_block_jacobi_pallas,
+    )
+
+    _, structured, *_ = both_models
+    ss, mf = np.float32(1.3), np.float32(4.0e6)
+    built = structured.build_preconditioner(ss, mf)
+    assert isinstance(built, sops.CompactBlockJacobi)
+    assert built.table.shape == (6, 3, 3, 3)
+    full = sops.build_block_jacobi_inverse_structured(structured, ss, mf)
+    r = jnp.asarray(
+        rng.standard_normal((3,) + full.shape[1:]), jnp.float32
+    )
+    z_full = sops.apply_preconditioner_structured(structured, full, r)
+    z_compact = structured.apply_preconditioner(built, r)
+    np.testing.assert_array_equal(np.asarray(z_compact), np.asarray(z_full))
+    z_kernel = apply_block_jacobi_pallas(
+        structured, built.table, r, interpret=True
+    )
+    # interpret mode under x64 contracts the coefficient expansion
+    # differently (1-ulp deltas); any fixed SPD M^-1 is a valid
+    # preconditioner, so ulp-level parity is the contract here
+    np.testing.assert_allclose(
+        np.asarray(z_kernel), np.asarray(z_full), rtol=1e-6, atol=0.0
+    )
+
+    # degenerate extents (no interior x class) must still be exact
+    cfg = cantilever_config(traction=-1.0e6)
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    tiny, _ = build_structured_model(
+        1, 3, 3, mats[0], cfg.materials[0].density,
+        traction=(0.0, 0.0, -1.0e6),
+    )
+    full_t = sops.build_block_jacobi_inverse_structured(tiny, ss, mf)
+    pc_t = tiny.build_preconditioner(ss, mf)
+    r_t = jnp.asarray(
+        rng.standard_normal((3,) + full_t.shape[1:]), jnp.float32
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tiny.apply_preconditioner(pc_t, r_t)),
+        np.asarray(sops.apply_preconditioner_structured(tiny, full_t, r_t)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(
+            apply_block_jacobi_pallas(tiny, pc_t.table, r_t, interpret=True)
+        ),
+        np.asarray(sops.apply_preconditioner_structured(tiny, full_t, r_t)),
+        rtol=1e-6,
+        atol=0.0,
+    )
+
+
 def test_pcg_nonzero_dirichlet_targets_structured():
     """PCG on the structured path with NONZERO Dirichlet targets: the
     solution must carry the targets exactly on constrained axes (the
