@@ -149,13 +149,13 @@ def interior_stencil_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _make_fused_kernel(tables, y: int, z: int, ny: int, nz: int):
-    """The COMPLETE K_eff per output plane: inputs are RAW x planes plus
-    int8 constraint planes; the kernel sanitizes each input plane, runs the
-    interior taps, subtracts every boundary ghost correction (faces, edges,
-    corners — the inclusion-exclusion tables of ADR-8), adds the mass term
-    and emits the FINAL value ``bc ? x_raw : ss*(interior - corr) +
-    mf*mass*xs``.
+def _make_fused_body(tables, y: int, z: int, ny: int, nz: int):
+    """The COMPLETE K_eff for ONE output plane: given the three sanitized
+    neighbor planes, the raw/free center plane and the (synthesized) mass
+    plane, runs the interior taps, subtracts every boundary ghost
+    correction (faces, edges, corners — the inclusion-exclusion tables of
+    ADR-8), adds the mass term and emits the FINAL value
+    ``bc ? x_raw : ss*(interior - corr) + mf*mass*xs``.
 
     Two measured designs it folds (50.3M DOF on v5e, ADR-21):
 
@@ -170,9 +170,9 @@ def _make_fused_kernel(tables, y: int, z: int, ny: int, nz: int):
       corrections are (1, z)/(y, 1) row/col slices of the resident planes
       RMW'd into ``out_ref`` on every grid step, and the two x-face planes
       (2-D stencils + their edge lines + corners) run under
-      ``pl.when(i == x_face_idx)`` so they cost nothing on interior steps.
+      ``pl.when(io == x_face_idx)`` so they cost nothing on interior steps.
 
-    The x-face plane indices arrive as SMEM scalars: the single-chip caller
+    The x-face plane indices arrive as scalars: the single-chip caller
     passes (0, nx); an X-slab shard passes its LOCAL plane index on the
     owning shard and -1 (never matches) elsewhere, which is how one kernel
     serves both paths.
@@ -183,23 +183,11 @@ def _make_fused_kernel(tables, y: int, z: int, ny: int, nz: int):
     interior, faces, edges, corners = tables
     interior = np.asarray(interior, np.float64)
 
-    def kernel(ss_ref, mf_ref, xlo_ref, xhi_ref, xm_ref, x0_ref, xp_ref,
-               bm_ref, b0_ref, bp_ref, mass_ref, out_ref):
-        i = pl.program_id(0)
+    def body(out_ref, planes, raw0, free0, mass, ss, mf, io, xlo, xhi):
         row = jax.lax.broadcasted_iota(jnp.int32, (y, z), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (y, z), 1)
         row_cond = {-1: row >= 1, 1: row < y - 1}
         col_cond = {-1: col >= 1, 1: col < z - 1}
-
-        raw = {-1: xm_ref[:, 0], 0: x0_ref[:, 0], 1: xp_ref[:, 0]}
-        # constraint planes hold 0/1 int8 — Mosaic lacks i8 vector compares
-        # on this target, so derive the free-mask by cast, not comparison
-        free = {  # 1.0 on unconstrained components
-            -1: 1.0 - bm_ref[:, 0].astype(jnp.float32),
-            0: 1.0 - b0_ref[:, 0].astype(jnp.float32),
-            1: 1.0 - bp_ref[:, 0].astype(jnp.float32),
-        }
-        planes = {dx: raw[dx] * free[dx] for dx in (-1, 0, 1)}
 
         # ---- interior: accumulate into dz groups, one postroll each ----
         acc = {dz: [None, None, None] for dz in (-1, 0, 1)}
@@ -237,14 +225,11 @@ def _make_fused_kernel(tables, y: int, z: int, ny: int, nz: int):
             outs.append(ob)
         inter = jnp.stack(outs)
 
-        ss = ss_ref[0, 0]
-        mf = mf_ref[0, 0]
-        x_raw = raw[0]
+        x_raw = raw0
         xs0 = planes[0]
-        mass = mass_ref[0]  # (y, z)
         out = ss * inter + (mf * mass) * xs0
         # identity rows: free==1 keeps out, free==0 passes raw input through
-        f0 = free[0]
+        f0 = free0
         out_ref[:, 0] = f0 * out + (1.0 - f0) * x_raw
 
         # ---- y-face row corrections (axis=1) with their assigned z-edge
@@ -337,10 +322,10 @@ def _make_fused_kernel(tables, y: int, z: int, ny: int, nz: int):
             out_ref[:, 0, :, cpos : cpos + 1] = cur - ss * f0c * corr
 
         # ---- x-face corrections: only on the owning grid steps ----
-        for side, idx_ref in ((0, xlo_ref), (1, xhi_ref)):
+        for side, face_idx in ((0, xlo), (1, xhi)):
             ftaps = np.asarray(faces[(0, side)], np.float64)  # (dyt,dzt,b,c)
 
-            @pl.when(i == idx_ref[0, 0])
+            @pl.when(io == face_idx)
             def _(side=side, ftaps=ftaps):
                 cacc = [None, None, None]
                 for c in range(3):
@@ -457,6 +442,67 @@ def _make_fused_kernel(tables, y: int, z: int, ny: int, nz: int):
                 corr = jnp.stack(corr)
                 out_ref[:, 0] = out_ref[:, 0] - ss * f0 * corr
 
+    return body
+
+
+def _make_stream_kernel(tables, y: int, z: int, ny: int, nz: int):
+    """Single-input-stream driver around :func:`_make_fused_body`.
+
+    The previous generation delivered each x plane through THREE window
+    specs (offsets -1/0/+1) and each int8 constraint plane through three
+    more — the Pallas pipeline re-fetched every plane once per spec, so HBM
+    saw 3x the vector + 3x the constraints + the mass grid (~1.02 GB per
+    matvec at 50.3M DOF, measured 4.6 ms = 224 GB/s while a single XLA
+    stream runs at ~620 GB/s on v5e).  This kernel fetches each plane ONCE
+    and keeps the 3-plane neighborhood in VMEM scratch as a rolling window:
+    the grid runs X+2 steps, step i receives padded plane i, and from step
+    2 onward computes output plane ``io = i - 2`` (center = plane i-1 held
+    in scratch).  The mass plane is synthesized in-register from one SMEM
+    scalar — on a homogeneous box grid the lumped mass is exactly
+    class-separable with power-of-2 face weights (0.5 per boundary axis),
+    so ``m8 * wx * wy * wz`` is BITWISE the stored grid (power-of-2 scaling
+    commutes with f32 rounding).  Total HBM: x once + int8 bc once + out
+    once (~452 MB at 50.3M DOF).
+    """
+    body = _make_fused_body(tables, y, z, ny, nz)
+
+    def kernel(ss_ref, mf_ref, xlo_ref, xhi_ref, m8_ref, x_ref, bc_ref,
+               out_ref, san_m, san_0, raw_0, free_0):
+        i = pl.program_id(0)
+        new_raw = x_ref[:, 0]
+        # constraint planes hold 0/1 int8 — Mosaic lacks i8 vector compares
+        # on this target, so derive the free-mask by cast, not comparison
+        new_free = 1.0 - bc_ref[:, 0].astype(jnp.float32)
+        new_san = new_raw * new_free
+
+        @pl.when(i >= 2)
+        def _():
+            io = i - 2
+            xlo = xlo_ref[0, 0]
+            xhi = xhi_ref[0, 0]
+            planes = {-1: san_m[...], 0: san_0[...], 1: new_san}
+            # class-separable lumped mass: 0.5 per boundary axis (exact)
+            row = jax.lax.broadcasted_iota(jnp.int32, (y, z), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (y, z), 1)
+            # STRONG f32 literals: under x64 two weak Python floats make
+            # the select f64 — a 64-bit vector layout Mosaic cannot tile
+            # (layout.h bitwidth check aborts the compile)
+            half, one = np.float32(0.5), np.float32(1.0)
+            wx = jnp.where((io == xlo) | (io == xhi), half, one)
+            wy = jnp.where((row == 0) | (row == ny), half, one)
+            wz = jnp.where((col == 0) | (col == nz), half, one)
+            mass = ((m8_ref[0, 0] * wx) * wy) * wz
+            body(
+                out_ref, planes, raw_0[...], free_0[...], mass,
+                ss_ref[0, 0], mf_ref[0, 0], io, xlo, xhi,
+            )
+
+        # rotate the window AFTER the compute consumed it
+        san_m[...] = san_0[...]
+        san_0[...] = new_san
+        raw_0[...] = new_raw
+        free_0[...] = new_free
+
     return kernel
 
 
@@ -474,60 +520,78 @@ def apply_keff_fused_pallas(
         constant_values=1,  # out-of-range planes read as constrained => 0
     )
     return apply_keff_fused_pallas_padded(
-        x_pad, bc_pad, model.mass_grid, stiffness_scale, mass_factor,
+        x_pad, bc_pad, _interior_mass(model), stiffness_scale, mass_factor,
         tables, model.ny, model.nz, 0, model.nx, interpret=interpret,
     )
 
 
+def _interior_mass(model) -> jax.Array:
+    """The interior lumped-mass scalar ``m8 = rho * V_cell`` recovered from
+    the stored grid: node (1, 1, 1) always exists (extents are n+1 >= 2)
+    and carries ``m8 * 2^-d`` where d counts axes with n == 1 (the node
+    then sits on the high face).  Power-of-2 scaling is exact in f32, so
+    the kernel's ``m8 * wx * wy * wz`` reproduces every stored value
+    bitwise."""
+    corr = (
+        (2.0 if model.nx == 1 else 1.0)
+        * (2.0 if model.ny == 1 else 1.0)
+        * (2.0 if model.nz == 1 else 1.0)
+    )
+    return model.mass_grid[1, 1, 1] * np.float32(corr)
+
+
 def apply_keff_fused_pallas_padded(
-    x_pad: jax.Array, bc_pad: jax.Array, mass_grid: jax.Array,
-    stiffness_scale, mass_factor, tables, ny: int, nz: int, x_lo, x_hi,
-    *, interpret: bool = False
+    x_pad: jax.Array, bc_pad: jax.Array, m8, stiffness_scale, mass_factor,
+    tables, ny: int, nz: int, x_lo, x_hi, *, interpret: bool = False
 ) -> jax.Array:
     """Core fused call on inputs that already carry one X halo plane per
     side — either zero/constrained padding (single chip) or real neighbor
     ghost planes exchanged by ``ppermute`` (one shard of an X-slab
-    decomposition).  ``x_pad``/``bc_pad`` are (3, X+2, Y, Z); ``mass_grid``
-    is the local (X, Y, Z); output is (3, X, Y, Z).
+    decomposition).  ``x_pad``/``bc_pad`` are (3, X+2, Y, Z); ``m8`` is the
+    interior lumped-mass scalar (see :func:`_interior_mass`); output is
+    (3, X, Y, Z).
 
-    ``x_lo``/``x_hi`` are the LOCAL grid-step indices of the two global X
-    faces (static ints single-chip; traced ``where(axis_index == owner,
+    ``x_lo``/``x_hi`` are the LOCAL output-plane indices of the two global
+    X faces (static ints single-chip; traced ``where(axis_index == owner,
     local_plane, -1)`` per shard — -1 never matches a grid step)."""
     _, x_total, y, z = x_pad.shape
     x_planes = x_total - 2
-    kernel = _make_fused_kernel(tables, y, z, ny, nz)
-    vec_spec = lambda offset: pl.BlockSpec(  # noqa: E731
-        (3, 1, y, z),
-        lambda i, o=offset: (i * 0, i + o, i * 0, i * 0),
-        memory_space=pltpu.VMEM,
-    )
+    kernel = _make_stream_kernel(tables, y, z, ny, nz)
     smem = pl.BlockSpec((1, 1), lambda i: (i * 0, i * 0), memory_space=pltpu.SMEM)
-    mass_spec = pl.BlockSpec(
-        (1, y, z), lambda i: (i, i * 0, i * 0), memory_space=pltpu.VMEM
+    plane_spec = pl.BlockSpec(
+        (3, 1, y, z),
+        lambda i: (i * 0, i, i * 0, i * 0),
+        memory_space=pltpu.VMEM,
     )
     interior = np.asarray(tables[0])
     flops = 2 * int((interior != 0).sum()) * x_planes * y * z
     ss = jnp.asarray(stiffness_scale, jnp.float32).reshape(1, 1)
     mf = jnp.asarray(mass_factor, jnp.float32).reshape(1, 1)
+    m8 = jnp.asarray(m8, jnp.float32).reshape(1, 1)
     xlo = jnp.asarray(x_lo, jnp.int32).reshape(1, 1)
     xhi = jnp.asarray(x_hi, jnp.int32).reshape(1, 1)
     return pl.pallas_call(
         kernel,
-        grid=(x_planes,),
-        in_specs=[
-            smem, smem, smem, smem,
-            vec_spec(0), vec_spec(1), vec_spec(2),
-            vec_spec(0), vec_spec(1), vec_spec(2),
-            mass_spec,
-        ],
+        grid=(x_planes + 2,),
+        in_specs=[smem, smem, smem, smem, smem, plane_spec, plane_spec],
         out_specs=pl.BlockSpec(
             (3, 1, y, z),
-            lambda i: (i * 0, i, i * 0, i * 0),
+            # steps 0-2 revisit block 0 (flushed only on index change, so
+            # the real write at step 2 lands before the flush)
+            lambda i: (i * 0, jnp.maximum(i - 2, i * 0), i * 0, i * 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((3, x_planes, y, z), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, y, z), jnp.float32),  # sanitized plane i-2
+            pltpu.VMEM((3, y, z), jnp.float32),  # sanitized plane i-1
+            pltpu.VMEM((3, y, z), jnp.float32),  # raw plane i-1
+            pltpu.VMEM((3, y, z), jnp.float32),  # free-mask plane i-1
+        ],
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=3 * x_pad.size * 4, transcendentals=0
+            flops=flops,
+            bytes_accessed=2 * x_pad.size * 4 + bc_pad.size,
+            transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
             # the dz-group accumulators + one live dy variant need ~22 MB
@@ -535,5 +599,4 @@ def apply_keff_fused_pallas_padded(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(ss, mf, xlo, xhi, x_pad, x_pad, x_pad, bc_pad, bc_pad, bc_pad,
-      mass_grid)
+    )(ss, mf, xlo, xhi, m8, x_pad, bc_pad)

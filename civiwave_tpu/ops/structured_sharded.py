@@ -86,9 +86,11 @@ def apply_keff_structured_sharded(
 
         use_kernel = plane_fits(model.ny + 1, model.nz + 1)
 
-    def local_fn(x_loc, bc_loc, mass_loc, ss, mf):
+    from .pallas.structured_stencil import _interior_mass
+
+    def local_fn(x_loc, bc_loc, mass_loc, m8, ss, mf):
         return _local_keff(
-            x_loc, bc_loc, mass_loc, ss, mf,
+            x_loc, bc_loc, mass_loc, m8, ss, mf,
             axis_name=ax, n_shards=n, x_local=x_local,
             nx=model.nx, ny=model.ny, nz=model.nz,
             tables=tables, use_kernel=use_kernel,
@@ -99,7 +101,7 @@ def apply_keff_structured_sharded(
     sharded = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(None, ax), P(None, ax), P(ax), P(), P()),
+        in_specs=(P(None, ax), P(None, ax), P(ax), P(), P(), P()),
         out_specs=P(None, ax),
         check_vma=False,
     )
@@ -107,6 +109,7 @@ def apply_keff_structured_sharded(
         x,
         model.bc_mask,
         model.mass_grid,
+        _interior_mass(model),
         jnp.asarray(stiffness_scale, jnp.float32),
         jnp.asarray(mass_factor, jnp.float32),
     )
@@ -131,7 +134,7 @@ def _exchange_ghost_planes(x_loc, bc_i8, axis_name: str, n_shards: int):
 
 
 def _local_keff(
-    x_loc, bc_loc, mass_loc, ss, mf, *,
+    x_loc, bc_loc, mass_loc, m8, ss, mf, *,
     axis_name, n_shards, x_local, nx, ny, nz, tables,
     use_kernel, interpret, large,
 ):
@@ -155,7 +158,7 @@ def _local_keff(
         x_lo = jnp.where(idx == 0, 0, -1)
         x_hi = jnp.where(idx == owner_hi, nx - owner_hi * x_local, -1)
         return apply_keff_fused_pallas_padded(
-            x_pad, bc_pad, mass_loc, ss, mf, tables, ny, nz, x_lo, x_hi,
+            x_pad, bc_pad, m8, ss, mf, tables, ny, nz, x_lo, x_hi,
             interpret=interpret,
         )
 
