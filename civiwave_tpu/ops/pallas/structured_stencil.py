@@ -183,7 +183,7 @@ def _make_fused_body(tables, y: int, z: int, ny: int, nz: int):
     interior, faces, edges, corners = tables
     interior = np.asarray(interior, np.float64)
 
-    def body(out_ref, planes, raw0, free0, mass, ss, mf, io, xlo, xhi):
+    def body(out_ref, k, planes, raw0, free0, mass, ss, mf, io, xlo, xhi):
         row = jax.lax.broadcasted_iota(jnp.int32, (y, z), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (y, z), 1)
         row_cond = {-1: row >= 1, 1: row < y - 1}
@@ -230,7 +230,7 @@ def _make_fused_body(tables, y: int, z: int, ny: int, nz: int):
         out = ss * inter + (mf * mass) * xs0
         # identity rows: free==1 keeps out, free==0 passes raw input through
         f0 = free0
-        out_ref[:, 0] = f0 * out + (1.0 - f0) * x_raw
+        out_ref[:, k] = f0 * out + (1.0 - f0) * x_raw
 
         # ---- y-face row corrections (axis=1) with their assigned z-edge
         # lines subtracted (inclusion-exclusion), every step ----
@@ -281,8 +281,8 @@ def _make_fused_body(tables, y: int, z: int, ny: int, nz: int):
                 for r in racc
             ])  # (3, 1, z)
             f0r = f0[:, rpos : rpos + 1, :]
-            cur = out_ref[:, 0, rpos : rpos + 1, :]
-            out_ref[:, 0, rpos : rpos + 1, :] = cur - ss * f0r * corr
+            cur = out_ref[:, k, rpos : rpos + 1, :]
+            out_ref[:, k, rpos : rpos + 1, :] = cur - ss * f0r * corr
 
         # ---- z-face col corrections (axis=2; no edges fold here), every
         # step ----
@@ -318,8 +318,8 @@ def _make_fused_body(tables, y: int, z: int, ny: int, nz: int):
                 for r in cacc
             ])  # (3, y, 1)
             f0c = f0[:, :, cpos : cpos + 1]
-            cur = out_ref[:, 0, :, cpos : cpos + 1]
-            out_ref[:, 0, :, cpos : cpos + 1] = cur - ss * f0c * corr
+            cur = out_ref[:, k, :, cpos : cpos + 1]
+            out_ref[:, k, :, cpos : cpos + 1] = cur - ss * f0c * corr
 
         # ---- x-face corrections: only on the owning grid steps ----
         for side, face_idx in ((0, xlo), (1, xhi)):
@@ -440,7 +440,7 @@ def _make_fused_body(tables, y: int, z: int, ny: int, nz: int):
                             continue
                         corr[b] = corr[b] + jnp.where(pt, mv, 0.0)
                 corr = jnp.stack(corr)
-                out_ref[:, 0] = out_ref[:, 0] - ss * f0 * corr
+                out_ref[:, k] = out_ref[:, k] - ss * f0 * corr
 
     return body
 
@@ -493,7 +493,7 @@ def _make_stream_kernel(tables, y: int, z: int, ny: int, nz: int):
             wz = jnp.where((col == 0) | (col == nz), half, one)
             mass = ((m8_ref[0, 0] * wx) * wy) * wz
             body(
-                out_ref, planes, raw_0[...], free_0[...], mass,
+                out_ref, 0, planes, raw_0[...], free_0[...], mass,
                 ss_ref[0, 0], mf_ref[0, 0], io, xlo, xhi,
             )
 
@@ -506,6 +506,98 @@ def _make_stream_kernel(tables, y: int, z: int, ny: int, nz: int):
     return kernel
 
 
+def _make_stream_kernel_blocked(
+    tables, block: int, y: int, z: int, ny: int, nz: int
+):
+    """B-plane-block variant of :func:`_make_stream_kernel`.
+
+    One plane per grid step leaves ~5 us of pipeline latency per step
+    un-amortized — ~1.3 ms of the 4.6 ms matvec at 50.3M DOF (256 steps).
+    This kernel delivers B planes per step (grid = X/B + 1 steps) and walks
+    them SEQUENTIALLY in-kernel, reusing the per-plane body — per-plane VPU
+    work and VMEM pressure stay at the proven level while per-step latency
+    amortizes by B.  Output block j lags delivery by ONE step: its plane k
+    (global x_ext plane jB + k) reads neighbors from the previous delivered
+    block held in scratch, crossing into the first planes of the fresh
+    block only for k >= B-2 (which is why B >= 2 is required; B == 1 takes
+    the lag-2 single-plane kernel).
+    """
+    body = _make_fused_body(tables, y, z, ny, nz)
+
+    def kernel(ss_ref, mf_ref, xlo_ref, xhi_ref, m8_ref, x_ref, bc_ref,
+               out_ref, san_prev, raw_prev, free_prev):
+        i = pl.program_id(0)
+        new_raw = x_ref[...]  # (3, B, y, z)
+        new_free = 1.0 - bc_ref[...].astype(jnp.float32)
+        new_san = new_raw * new_free
+
+        @pl.when(i >= 1)
+        def _():
+            xlo = xlo_ref[0, 0]
+            xhi = xhi_ref[0, 0]
+            ss = ss_ref[0, 0]
+            mf = mf_ref[0, 0]
+            row = jax.lax.broadcasted_iota(jnp.int32, (y, z), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (y, z), 1)
+            half, one = np.float32(0.5), np.float32(1.0)
+            wy = jnp.where((row == 0) | (row == ny), half, one)
+            wz = jnp.where((col == 0) | (col == nz), half, one)
+            wyz = wy * wz
+            io_base = (i - 1) * block
+            prev_san = san_prev[...]
+            prev_raw = raw_prev[...]
+            prev_free = free_prev[...]
+            for k in range(block):
+                # x_ext planes o, o+1, o+2 for output plane o = io_base+k:
+                # local index k in the previous block, crossing into the
+                # fresh block for the tail planes
+                def pick(prev, new, j):
+                    return prev[:, j] if j < block else new[:, j - block]
+
+                planes = {
+                    -1: pick(prev_san, new_san, k),
+                    0: pick(prev_san, new_san, k + 1),
+                    1: pick(prev_san, new_san, k + 2),
+                }
+                raw0 = pick(prev_raw, new_raw, k + 1)
+                free0 = pick(prev_free, new_free, k + 1)
+                io = io_base + k
+                wx = jnp.where((io == xlo) | (io == xhi), half, one)
+                mass = (m8_ref[0, 0] * wx) * wyz
+                body(out_ref, k, planes, raw0, free0, mass, ss, mf,
+                     io, xlo, xhi)
+
+        san_prev[...] = new_san
+        raw_prev[...] = new_raw
+        free_prev[...] = new_free
+
+    return kernel
+
+
+def _pick_block(x_planes: int) -> int:
+    # Measured at 50.3M DOF on v5e (256 x-planes): block 2 = 4.48 ms,
+    # block 1 = 4.65, block 4 = 5.49, block 8 = 5.17 — two planes per grid
+    # step amortize the per-step pipeline latency, while larger blocks
+    # triple+ the VMEM block working set and stall double-buffering.
+    import os
+
+    cap = int(os.environ.get("CIVIWAVE_STREAM_BLOCK", "2"))
+    for b in (2, 4, 8):
+        if b == cap and x_planes % b == 0:
+            return b
+    return 2 if (2 <= cap and x_planes % 2 == 0) else 1
+
+
+def stream_pad_extra(x_planes: int) -> int:
+    """Extra right-side X padding the blocked stream kernel needs beyond
+    the one halo plane: the final delivery block overruns the halo by
+    block-2 planes (they are never read as a center or as a neighbor of a
+    real output plane, so zeros are fine).  Callers fold this into their
+    one pad/concat so no extra array copy is paid."""
+    block = _pick_block(x_planes)
+    return block - 2 if block > 1 else 0
+
+
 def apply_keff_fused_pallas(
     model, x: jax.Array, stiffness_scale, mass_factor, tables,
     *, interpret: bool = False
@@ -513,15 +605,18 @@ def apply_keff_fused_pallas(
     """The COMPLETE K_eff * x (sanitize + stencil + all boundary
     corrections + mass + identity rows) as one pallas_call over X planes.
     ``tables`` is the full ``_stencil_tables`` tuple."""
-    x_pad = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    extra = stream_pad_extra(x.shape[1])
+    x_pad = jnp.pad(x, ((0, 0), (1, 1 + extra), (0, 0), (0, 0)))
     # int8 constraint planes: 4x less HBM than f32, bool is not a TPU type
     bc_pad = jnp.pad(
-        model.bc_mask.astype(jnp.int8), ((0, 0), (1, 1), (0, 0), (0, 0)),
+        model.bc_mask.astype(jnp.int8),
+        ((0, 0), (1, 1 + extra), (0, 0), (0, 0)),
         constant_values=1,  # out-of-range planes read as constrained => 0
     )
     return apply_keff_fused_pallas_padded(
         x_pad, bc_pad, _interior_mass(model), stiffness_scale, mass_factor,
-        tables, model.ny, model.nz, 0, model.nx, interpret=interpret,
+        tables, model.ny, model.nz, 0, model.nx,
+        x_planes=x.shape[1], interpret=interpret,
     )
 
 
@@ -542,27 +637,28 @@ def _interior_mass(model) -> jax.Array:
 
 def apply_keff_fused_pallas_padded(
     x_pad: jax.Array, bc_pad: jax.Array, m8, stiffness_scale, mass_factor,
-    tables, ny: int, nz: int, x_lo, x_hi, *, interpret: bool = False
+    tables, ny: int, nz: int, x_lo, x_hi, *, x_planes: int | None = None,
+    interpret: bool = False
 ) -> jax.Array:
     """Core fused call on inputs that already carry one X halo plane per
     side — either zero/constrained padding (single chip) or real neighbor
     ghost planes exchanged by ``ppermute`` (one shard of an X-slab
-    decomposition).  ``x_pad``/``bc_pad`` are (3, X+2, Y, Z); ``m8`` is the
-    interior lumped-mass scalar (see :func:`_interior_mass`); output is
+    decomposition).  ``x_pad``/``bc_pad`` are
+    (3, X + 2 + stream_pad_extra(X), Y, Z); ``m8`` is the interior
+    lumped-mass scalar (see :func:`_interior_mass`); output is
     (3, X, Y, Z).
 
     ``x_lo``/``x_hi`` are the LOCAL output-plane indices of the two global
     X faces (static ints single-chip; traced ``where(axis_index == owner,
     local_plane, -1)`` per shard — -1 never matches a grid step)."""
     _, x_total, y, z = x_pad.shape
-    x_planes = x_total - 2
-    kernel = _make_stream_kernel(tables, y, z, ny, nz)
-    smem = pl.BlockSpec((1, 1), lambda i: (i * 0, i * 0), memory_space=pltpu.SMEM)
-    plane_spec = pl.BlockSpec(
-        (3, 1, y, z),
-        lambda i: (i * 0, i, i * 0, i * 0),
-        memory_space=pltpu.VMEM,
+    if x_planes is None:
+        x_planes = x_total - 2
+    block = _pick_block(x_planes)
+    assert x_total == x_planes + 2 + stream_pad_extra(x_planes), (
+        x_total, x_planes
     )
+    smem = pl.BlockSpec((1, 1), lambda i: (i * 0, i * 0), memory_space=pltpu.SMEM)
     interior = np.asarray(tables[0])
     flops = 2 * int((interior != 0).sum()) * x_planes * y * z
     ss = jnp.asarray(stiffness_scale, jnp.float32).reshape(1, 1)
@@ -570,6 +666,54 @@ def apply_keff_fused_pallas_padded(
     m8 = jnp.asarray(m8, jnp.float32).reshape(1, 1)
     xlo = jnp.asarray(x_lo, jnp.int32).reshape(1, 1)
     xhi = jnp.asarray(x_hi, jnp.int32).reshape(1, 1)
+    common = dict(
+        out_shape=jax.ShapeDtypeStruct((3, x_planes, y, z), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * x_pad.size * 4 + bc_pad.size,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # the dz-group accumulators + one live dy variant need ~22 MB
+            # of scoped VMEM at 256^2 planes; the default 16 MB cap OOMs
+            vmem_limit_bytes=127 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+    if block > 1:
+        n_blocks = x_planes // block
+        kernel = _make_stream_kernel_blocked(tables, block, y, z, ny, nz)
+        blk_spec = pl.BlockSpec(
+            (3, block, y, z),
+            lambda i: (i * 0, i, i * 0, i * 0),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(n_blocks + 1,),
+            in_specs=[smem, smem, smem, smem, smem, blk_spec, blk_spec],
+            out_specs=pl.BlockSpec(
+                (3, block, y, z),
+                # step 0 revisits block 0 (flushed only on index change,
+                # so the real write at step 1 lands before the flush)
+                lambda i: (i * 0, jnp.maximum(i - 1, i * 0), i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((3, block, y, z), jnp.float32),  # sanitized
+                pltpu.VMEM((3, block, y, z), jnp.float32),  # raw
+                pltpu.VMEM((3, block, y, z), jnp.float32),  # free mask
+            ],
+            **common,
+        )(ss, mf, xlo, xhi, m8, x_pad, bc_pad)
+
+    kernel = _make_stream_kernel(tables, y, z, ny, nz)
+    plane_spec = pl.BlockSpec(
+        (3, 1, y, z),
+        lambda i: (i * 0, i, i * 0, i * 0),
+        memory_space=pltpu.VMEM,
+    )
     return pl.pallas_call(
         kernel,
         grid=(x_planes + 2,),
@@ -581,22 +725,11 @@ def apply_keff_fused_pallas_padded(
             lambda i: (i * 0, jnp.maximum(i - 2, i * 0), i * 0, i * 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((3, x_planes, y, z), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((3, y, z), jnp.float32),  # sanitized plane i-2
             pltpu.VMEM((3, y, z), jnp.float32),  # sanitized plane i-1
             pltpu.VMEM((3, y, z), jnp.float32),  # raw plane i-1
             pltpu.VMEM((3, y, z), jnp.float32),  # free-mask plane i-1
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=2 * x_pad.size * 4 + bc_pad.size,
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            # the dz-group accumulators + one live dy variant need ~22 MB
-            # of scoped VMEM at 256^2 planes; the default 16 MB cap OOMs
-            vmem_limit_bytes=64 * 1024 * 1024
-        ),
-        interpret=interpret,
+        **common,
     )(ss, mf, xlo, xhi, m8, x_pad, bc_pad)

@@ -146,7 +146,10 @@ def _local_keff(
     xs_pad = jnp.where(bc_pad.astype(bool), 0.0, x_pad)  # sanitized
 
     if use_kernel:
-        from .pallas.structured_stencil import apply_keff_fused_pallas_padded
+        from .pallas.structured_stencil import (
+            apply_keff_fused_pallas_padded,
+            stream_pad_extra,
+        )
 
         # the kernel IS the complete operator (interior + every boundary
         # correction + mass + identity rows).  The two global X faces are
@@ -157,9 +160,16 @@ def _local_keff(
         owner_hi = nx // x_local
         x_lo = jnp.where(idx == 0, 0, -1)
         x_hi = jnp.where(idx == owner_hi, nx - owner_hi * x_local, -1)
+        extra = stream_pad_extra(x_local)
+        if extra:
+            x_pad = jnp.pad(x_pad, ((0, 0), (0, extra), (0, 0), (0, 0)))
+            bc_pad = jnp.pad(
+                bc_pad, ((0, 0), (0, extra), (0, 0), (0, 0)),
+                constant_values=1,
+            )
         return apply_keff_fused_pallas_padded(
             x_pad, bc_pad, m8, ss, mf, tables, ny, nz, x_lo, x_hi,
-            interpret=interpret,
+            x_planes=x_local, interpret=interpret,
         )
 
     if large:
