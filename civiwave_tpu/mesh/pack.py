@@ -312,6 +312,13 @@ class PackedModel:
 
         return _ops.apply_preconditioner(self, block_inverse, residual)
 
+    def apply_pc_keff(self, block_inverse, residual, stiffness_scale,
+                      mass_factor):
+        """(u, w) = (M^-1 r, K_eff u) — plain composition on the general
+        path; the structured model overrides this with a fused kernel."""
+        u = self.apply_preconditioner(block_inverse, residual)
+        return u, self.apply_keff(u, stiffness_scale, mass_factor)
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)

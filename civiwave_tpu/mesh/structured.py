@@ -195,6 +195,20 @@ class StructuredModel:
             self, stiffness_scale, mass_factor
         )
 
+    def apply_pc_keff(self, block_inverse, residual, stiffness_scale,
+                      mass_factor):
+        """(u, w) = (M^-1 r, K_eff u) — fused into one Pallas pass on the
+        large-grid TPU path (see ops.structured.apply_pc_keff_structured);
+        composition everywhere else."""
+        from ..ops import structured as _ops
+
+        if self.preconditioner == "multigrid" and self.mg_levels:
+            u = self.apply_preconditioner(block_inverse, residual)
+            return u, self.apply_keff(u, stiffness_scale, mass_factor)
+        return _ops.apply_pc_keff_structured(
+            self, block_inverse, residual, stiffness_scale, mass_factor
+        )
+
     def apply_preconditioner(self, block_inverse, residual):
         from ..ops import structured as _ops
 

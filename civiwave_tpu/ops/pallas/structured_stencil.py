@@ -598,6 +598,213 @@ def stream_pad_extra(x_planes: int) -> int:
     return block - 2 if block > 1 else 0
 
 
+def _pc_coeff_maps(tab_ref, cls: int, y: int, z: int, ny: int, nz: int):
+    """Six (y, z) block-Jacobi coefficient maps for x-class ``cls`` from
+    the (1, 3, 54) SMEM class-table bundle (packing as in
+    block_jacobi_apply: ``tab[0, x_class, (m * 3 + y_class) * 3 +
+    z_class]``).  Built once per grid step with nested selects over the
+    row/col class regions — ~48 (y, z) selects, amortized over the whole
+    delivered block."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (y, z), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (y, z), 1)
+    maps = []
+    for m in range(6):
+
+        def t(a, b, m=m):
+            return tab_ref[0, cls, (m * 3 + a) * 3 + b]
+
+        per_a = [
+            jnp.where(col == 0, t(a, 0), jnp.where(col == nz, t(a, 2), t(a, 1)))
+            for a in range(3)
+        ]
+        maps.append(
+            jnp.where(row == 0, per_a[0], jnp.where(row == ny, per_a[2], per_a[1]))
+        )
+    return maps
+
+
+def _pc_apply_value(maps, r, free):
+    """u = M^-1 r for one plane/block given coefficient maps; constrained
+    components zeroed (select, not multiply — the XLA twin's ``where``
+    yields +0.0 where ``free * u`` would give -0.0)."""
+    c00, c11, c22, c01, c02, c12 = maps
+    r0, r1, r2 = r[0], r[1], r[2]
+    u = jnp.stack(
+        [
+            c00 * r0 + c01 * r1 + c02 * r2,
+            c01 * r0 + c11 * r1 + c12 * r2,
+            c02 * r0 + c12 * r1 + c22 * r2,
+        ]
+    )
+    return jnp.where(free != 0.0, u, 0.0)
+
+
+def _make_pc_stream_kernel(
+    tables, block: int, y: int, z: int, ny: int, nz: int
+):
+    """Fused block-Jacobi-apply + complete-operator kernel: streams the
+    PCG residual once and emits BOTH ``u = M^-1 r`` and ``w = K_eff u``.
+
+    The Chronopoulos-Gear iteration applies the preconditioner and then
+    immediately the operator to its output (solver/pcg.py:397-400).  Run
+    separately, the class-table pc apply costs its own full pass over r
+    plus a dispatch (~2.6 ms of the 7.9 ms iteration at 50.3M DOF) and u
+    round-trips through HBM between the kernels.  Here the delivered
+    residual block is transformed to u in-register at delivery time (the
+    same class-table algebra as block_jacobi_apply, hoisted coefficient
+    maps), the rolling window holds u instead of sanitized x, and the
+    stencil body consumes it directly — u is emitted as a second output
+    (the p-update and the (r,u)/(w,u) dots need it) on the same lag-1
+    schedule as w.
+
+    Sanitize note: pc output is bc-zeroed by construction, so the window
+    IS the sanitized operator input, and the identity-row passthrough of
+    the raw operator input (= u, zero on constrained axes) reduces to
+    ``free * out``.  Single-chip only: ghost planes of r under X-slab
+    sharding would need the neighbor's pc classes (the sharded path keeps
+    the composition).
+    """
+    body = _make_fused_body(tables, y, z, ny, nz)
+
+    def kernel(ss_ref, mf_ref, xlo_ref, xhi_ref, m8_ref, tab_ref, r_ref,
+               bc_ref, w_ref, u_ref, u_cur, u_prev, free_prev):
+        i = pl.program_id(0)
+        new_free = 1.0 - bc_ref[...].astype(jnp.float32)
+        r = r_ref[...]  # (3, B, y, z)
+        xlo = xlo_ref[0, 0]
+        xhi = xhi_ref[0, 0]
+
+        # pc at delivery: interior-x class everywhere, the two global
+        # x-face planes repainted under pl.when (free on interior steps)
+        maps_int = _pc_coeff_maps(tab_ref, 1, y, z, ny, nz)
+        u_cur[...] = _pc_apply_value(maps_int, r, new_free)
+        for j in range(block):
+            for cls, face in ((0, xlo), (2, xhi)):
+
+                @pl.when(i * block + j - 1 == face)
+                def _(j=j, cls=cls):
+                    maps_f = _pc_coeff_maps(tab_ref, cls, y, z, ny, nz)
+                    u_cur[:, j] = _pc_apply_value(
+                        maps_f, r[:, j], new_free[:, j]
+                    )
+
+        @pl.when(i >= 1)
+        def _():
+            ss = ss_ref[0, 0]
+            mf = mf_ref[0, 0]
+            row = jax.lax.broadcasted_iota(jnp.int32, (y, z), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (y, z), 1)
+            half, one = np.float32(0.5), np.float32(1.0)
+            wy = jnp.where((row == 0) | (row == ny), half, one)
+            wz = jnp.where((col == 0) | (col == nz), half, one)
+            wyz = wy * wz
+            io_base = (i - 1) * block
+            prev_u = u_prev[...]
+            cur_u = u_cur[...]
+            prev_free = free_prev[...]
+            for k in range(block):
+
+                def pick(prev, new, j):
+                    return prev[:, j] if j < block else new[:, j - block]
+
+                planes = {
+                    -1: pick(prev_u, cur_u, k),
+                    0: pick(prev_u, cur_u, k + 1),
+                    1: pick(prev_u, cur_u, k + 2),
+                }
+                u_center = planes[0]
+                free0 = pick(prev_free, new_free, k + 1)
+                io = io_base + k
+                wx = jnp.where((io == xlo) | (io == xhi), half, one)
+                mass = (m8_ref[0, 0] * wx) * wyz
+                body(w_ref, k, planes, u_center, free0, mass, ss, mf,
+                     io, xlo, xhi)
+                u_ref[:, k] = u_center
+
+        u_prev[...] = u_cur[...]
+        free_prev[...] = new_free
+
+    return kernel
+
+
+def apply_pc_keff_fused_pallas(
+    model, table: jax.Array, residual: jax.Array, stiffness_scale,
+    mass_factor, tables, *, interpret: bool = False
+):
+    """(u, w) = (M^-1 r, K_eff M^-1 r) in ONE pass over the residual.
+
+    ``table`` is the (6, 3, 3, 3) CompactBlockJacobi class table.  Returns
+    None when the plane count is odd (the mega kernel is blocked-only);
+    the caller falls back to the pc-then-matvec composition.
+    """
+    x_planes, y, z = model.grid_shape
+    block = _pick_block(x_planes)
+    if block == 1:
+        return None
+    extra = block - 2
+    r_pad = jnp.pad(residual, ((0, 0), (1, 1 + extra), (0, 0), (0, 0)))
+    bc_pad = jnp.pad(
+        model.bc_mask.astype(jnp.int8), ((0, 0), (1, 1 + extra), (0, 0), (0, 0)),
+        constant_values=1,
+    )
+    tab = jnp.transpose(
+        jnp.asarray(table, jnp.float32), (1, 0, 2, 3)
+    ).reshape(1, 3, 54)
+    kernel = _make_pc_stream_kernel(tables, block, y, z, model.ny, model.nz)
+    interior = np.asarray(tables[0])
+    flops = (2 * int((interior != 0).sum()) + 21) * x_planes * y * z
+    ss = jnp.asarray(stiffness_scale, jnp.float32).reshape(1, 1)
+    mf = jnp.asarray(mass_factor, jnp.float32).reshape(1, 1)
+    m8 = jnp.asarray(_interior_mass(model), jnp.float32).reshape(1, 1)
+    xlo = jnp.zeros((1, 1), jnp.int32)
+    xhi = jnp.full((1, 1), model.nx, jnp.int32)
+    smem = pl.BlockSpec((1, 1), lambda i: (i * 0, i * 0), memory_space=pltpu.SMEM)
+    blk_in = pl.BlockSpec(
+        (3, block, y, z),
+        lambda i: (i * 0, i, i * 0, i * 0),
+        memory_space=pltpu.VMEM,
+    )
+    blk_out = pl.BlockSpec(
+        (3, block, y, z),
+        # step 0 revisits block 0 (flushed only on index change, so the
+        # real write at step 1 lands before the flush)
+        lambda i: (i * 0, jnp.maximum(i - 1, i * 0), i * 0, i * 0),
+        memory_space=pltpu.VMEM,
+    )
+    n_blocks = x_planes // block
+    out_shape = jax.ShapeDtypeStruct((3, x_planes, y, z), jnp.float32)
+    w, u = pl.pallas_call(
+        kernel,
+        grid=(n_blocks + 1,),
+        in_specs=[
+            smem, smem, smem, smem, smem,
+            pl.BlockSpec(
+                (1, 3, 54),
+                lambda i: (i * 0, i * 0, i * 0),
+                memory_space=pltpu.SMEM,
+            ),
+            blk_in, blk_in,
+        ],
+        out_specs=[blk_out, blk_out],
+        out_shape=[out_shape, out_shape],
+        scratch_shapes=[
+            pltpu.VMEM((3, block, y, z), jnp.float32),  # u (current block)
+            pltpu.VMEM((3, block, y, z), jnp.float32),  # u (previous block)
+            pltpu.VMEM((3, block, y, z), jnp.float32),  # free (previous)
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=3 * residual.size * 4 + r_pad.size * 4 + bc_pad.size,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(ss, mf, xlo, xhi, m8, tab, r_pad, bc_pad)
+    return u, w
+
+
 def apply_keff_fused_pallas(
     model, x: jax.Array, stiffness_scale, mass_factor, tables,
     *, interpret: bool = False

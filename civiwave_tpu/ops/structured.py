@@ -829,3 +829,54 @@ def apply_compact_preconditioner_structured(
         ]
     )
     return jnp.where(model.bc_mask, 0.0, z)
+
+
+def apply_pc_keff_structured(
+    model: StructuredModel, pc, residual: jax.Array, stiffness_scale,
+    mass_factor,
+):
+    """(u, w) = (M^-1 r, K_eff u) — the back-to-back pc-apply + matvec of
+    the Chronopoulos-Gear iteration (solver/pcg.py) as ONE Pallas pass
+    when eligible.
+
+    Run as two kernels, the class-table pc apply costs its own full pass
+    over the residual plus a dispatch and u round-trips through HBM
+    between them (~2.6 ms of the 7.9 ms/iteration at 50.3M DOF on v5e).
+    The mega kernel transforms delivered residual planes to u in-register
+    and feeds the stencil's rolling window directly.  Eligibility is the
+    fused-matvec envelope (homogeneous, unsharded, f32, large planes that
+    fit VMEM) plus an even x-plane count (the kernel is blocked-only);
+    everything else takes the composition, which is semantically
+    identical.
+
+    Reference analogue: pcg_precondition.slang followed by the
+    ke_apply/gather pair — separate dispatches with a queue sync between
+    them (newmark_stepper.cpp:787-841); fusing them is the TPU-native
+    restatement.
+    """
+    if (
+        isinstance(pc, CompactBlockJacobi)
+        and model.homogeneous
+        and model.use_pallas
+        and model.shard_mesh is None
+        and residual.dtype == jnp.float32
+        and jax.default_backend() == "tpu"
+        and int(np.prod(model.grid_shape)) > _FLAT_INTERIOR_NODE_THRESHOLD
+    ):
+        from .pallas.structured_stencil import (
+            apply_pc_keff_fused_pallas,
+            plane_fits,
+        )
+
+        _, y, z = model.grid_shape
+        if plane_fits(y, z):
+            tables = _stencil_tables(model.spacing, model.lam0, model.mu0)
+            out = apply_pc_keff_fused_pallas(
+                model, pc.table, residual, stiffness_scale, mass_factor,
+                tables,
+            )
+            if out is not None:
+                return out
+    u = model.apply_preconditioner(pc, residual)
+    w = model.apply_keff(u, stiffness_scale, mass_factor)
+    return u, w

@@ -355,10 +355,12 @@ def solve_pcg_fused(
     r = (rhs - ax).astype(f32)
     x, r = _clamp_dirichlet(model, rhs, x, r)
 
-    with jax.named_scope("pcg_precondition"):
-        u = model.apply_preconditioner(block_inverse, r)
-    with jax.named_scope("pcg_matvec"):
-        w = model.apply_keff(u, stiffness_scale, mass_factor)
+    # pc apply + matvec back-to-back: the structured TPU path fuses both
+    # into ONE Pallas pass over r (ops.structured.apply_pc_keff_structured)
+    with jax.named_scope("pcg_pc_matvec"):
+        u, w = model.apply_pc_keff(
+            block_inverse, r, stiffness_scale, mass_factor
+        )
     # one fused setup reduction: gamma0, delta0, ||r||^2 and ||rhs||^2
     gamma0, delta0, rr0, rhs2 = fused_dots(
         [(r, u), (w, u), (r, r), (rhs, rhs)], rdt
@@ -394,10 +396,10 @@ def solve_pcg_fused(
         # constrained axes: p and s are zero there by recurrence (u, w are
         # bc-zeroed each iteration), so x stays = rhs and r stays = 0
         # bit-for-bit — the same proved-no-op clamp elision as classic.
-        with jax.named_scope("pcg_precondition"):
-            u = model.apply_preconditioner(block_inverse, r)
-        with jax.named_scope("pcg_matvec"):
-            w = model.apply_keff(u, stiffness_scale, mass_factor)
+        with jax.named_scope("pcg_pc_matvec"):
+            u, w = model.apply_pc_keff(
+                block_inverse, r, stiffness_scale, mass_factor
+            )
 
         with jax.named_scope("pcg_fused_reduction"):
             gamma_new, delta, rr = fused_dots([(r, u), (w, u), (r, r)], rdt)

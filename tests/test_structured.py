@@ -444,3 +444,73 @@ def test_pcg_nonzero_dirichlet_targets_structured():
     vals = np.asarray(model.bc_value)[:, 0]  # the x0 plane targets
     assert float(vals[0].max()) == pytest.approx(1.0e-4)
     assert float(vals[2].min()) == pytest.approx(-2.0e-4)
+
+
+def test_pc_keff_fused_kernel_matches(rng):
+    """The fused pc+matvec mega kernel (interpret mode on CPU) must
+    reproduce the composition — u = M^-1 r from the class table, then
+    w = K_eff u — including identity rows, every boundary correction and
+    the per-plane x-face pc classes.  Odd x-plane counts refuse (the
+    kernel is blocked-only) and the model entry point falls back to the
+    composition bitwise.  Reference analogue: pcg_precondition.slang
+    followed by the ke_apply/gather pair as separate synchronized
+    dispatches (newmark_stepper.cpp:787-841)."""
+    from civiwave_tpu.ops import structured as sops
+    from civiwave_tpu.ops.pallas.structured_stencil import (
+        apply_pc_keff_fused_pallas,
+    )
+
+    cfg = cantilever_config(traction=-1.0e6)
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    model, _ = build_structured_model(
+        5, 3, 2, mats[0], cfg.materials[0].density,
+        fixed_axis_planes=("x0",),
+        traction=(0.0, 0.0, -1.0e6), traction_plane="x1",
+    )  # 6 x-planes -> block 2
+    ss, mf = np.float32(1.3), np.float32(2.5e5)
+    pc = model.build_preconditioner(ss, mf)
+    assert isinstance(pc, sops.CompactBlockJacobi)
+    r = jnp.asarray(
+        rng.standard_normal(model.vector_shape).astype(np.float32)
+    )
+    u_ref = model.apply_preconditioner(pc, r)
+    w_ref = model.apply_keff(u_ref, ss, mf)
+    tables = sops._stencil_tables(model.spacing, model.lam0, model.mu0)
+    out = apply_pc_keff_fused_pallas(
+        model, pc.table, r, ss, mf, tables, interpret=True
+    )
+    assert out is not None
+    u, w = out
+    # interpret mode contracts the coefficient algebra differently than
+    # the XLA twin (ulp-level deltas, scaled atol); on real TPU hardware
+    # both pairs measured bitwise identical at 95^3 and 255^3
+    scale_u = np.abs(np.asarray(u_ref)).max() + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(u_ref), atol=1e-6 * scale_u
+    )
+    scale_w = np.abs(np.asarray(w_ref)).max() + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(w), np.asarray(w_ref), atol=2e-5 * scale_w
+    )
+
+    # odd plane count: kernel refuses, model entry composes (bitwise)
+    model_odd, _ = build_structured_model(
+        4, 3, 2, mats[0], cfg.materials[0].density,
+        traction=(0.0, 0.0, -1.0e6),
+    )
+    pc_odd = model_odd.build_preconditioner(ss, mf)
+    r_odd = jnp.asarray(
+        rng.standard_normal(model_odd.vector_shape).astype(np.float32)
+    )
+    assert apply_pc_keff_fused_pallas(
+        model_odd, pc_odd.table, r_odd, ss, mf,
+        sops._stencil_tables(model_odd.spacing, model_odd.lam0,
+                             model_odd.mu0),
+        interpret=True,
+    ) is None
+    u2, w2 = model_odd.apply_pc_keff(pc_odd, r_odd, ss, mf)
+    u2_ref = model_odd.apply_preconditioner(pc_odd, r_odd)
+    np.testing.assert_array_equal(np.asarray(u2), np.asarray(u2_ref))
+    np.testing.assert_array_equal(
+        np.asarray(w2), np.asarray(model_odd.apply_keff(u2_ref, ss, mf))
+    )
