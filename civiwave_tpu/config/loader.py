@@ -251,7 +251,7 @@ def parse_config_node(root: Any) -> Config:
             ["solver", "warm_start_policy"],
         ),
         variant=_as_str(
-            solver_node.get("variant", "classic"), ["solver", "variant"]
+            solver_node.get("variant", "auto"), ["solver", "variant"]
         ),
     )
     if solver.max_iterations == 0:
@@ -263,9 +263,9 @@ def parse_config_node(root: Any) -> Config:
             "solver.warm_start_policy must be 'predictor' or 'solution'",
             ["solver", "warm_start_policy", solver.warm_start_policy],
         )
-    if solver.variant not in ("classic", "fused"):
+    if solver.variant not in ("auto", "classic", "fused"):
         raise _err(
-            "solver.variant must be 'classic' or 'fused'",
+            "solver.variant must be 'auto', 'classic' or 'fused'",
             ["solver", "variant", solver.variant],
         )
 

@@ -195,6 +195,34 @@ class StructuredModel:
             self, stiffness_scale, mass_factor
         )
 
+    def prefers_fused_pcg(self, block_inverse, vector_dtype) -> bool:
+        """'auto' variant probe: Chronopoulos-Gear + the fused pc+matvec
+        kernel beat the classic loop above ~5M nodes on v5e (ADR-22);
+        below that the extra s-recurrence costs more than the fusion
+        saves."""
+        from ..ops import structured as _ops
+
+        if self.preconditioner == "multigrid" and self.mg_levels:
+            return False
+        return (
+            _ops.pc_keff_kernel_eligible(self, block_inverse, vector_dtype)
+            and self.node_count >= _ops._FUSED_VARIANT_NODE_THRESHOLD
+        )
+
+    def build_fused_pcg_iteration(self, block_inverse, stiffness_scale,
+                                  mass_factor, reduction_dtype,
+                                  vector_dtype):
+        """Whole-iteration PCG kernel bundle for the large-grid TPU path
+        (None when ineligible — see ops.structured)."""
+        from ..ops import structured as _ops
+
+        if self.preconditioner == "multigrid" and self.mg_levels:
+            return None
+        return _ops.build_fused_pcg_iteration(
+            self, block_inverse, stiffness_scale, mass_factor,
+            reduction_dtype, vector_dtype,
+        )
+
     def apply_pc_keff(self, block_inverse, residual, stiffness_scale,
                       mass_factor):
         """(u, w) = (M^-1 r, K_eff u) — fused into one Pallas pass on the

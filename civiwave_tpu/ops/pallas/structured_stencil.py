@@ -940,3 +940,245 @@ def apply_keff_fused_pallas_padded(
         ],
         **common,
     )(ss, mf, xlo, xhi, m8, x_pad, bc_pad)
+
+
+# ---------------------------------------------------------------------------
+# whole-PCG-iteration kernel: p/s recurrence + x/r axpys + block-Jacobi
+# apply + complete operator + dot partials, one pass over six vectors
+# ---------------------------------------------------------------------------
+
+
+def _make_pcg_iter_kernel(
+    tables, block: int, y: int, z: int, ny: int, nz: int, n_ext: int
+):
+    """ONE Chronopoulos-Gear PCG iteration as a single streaming kernel.
+
+    Post the pc+matvec fusion, the iteration still pays three separate XLA
+    passes — the x/r axpys, the (3,)-dot reduction over r/u/w, and the p/s
+    direction updates — ~2.3 ms of the 7.3 ms iteration at 50.3M DOF.
+    Every one of those is elementwise or a reduction over vectors this
+    kernel already streams, so the whole recurrence folds in:
+
+        p = free ? u + beta p_old : 0       (deferred from LAST iteration:
+        s = free ? w + beta s_old : 0        identical algebra, the update
+        x' = x + alpha p                     just crosses the loop boundary)
+        r' = r - alpha s
+        u' = M^-1 r'                         (class-table, in-register)
+        w' = K_eff u'                        (rolling 3-plane window)
+        partials of (r',u'), (r',r')         (delivery-time)
+        partials of (w',u')                  (lag-1, after the stencil)
+
+    ALL six vector carries live x_ext-PADDED (one halo plane left,
+    block-1 planes right, all constrained) so every delivered block is
+    transformed in place with no per-iteration pad copies: padded planes
+    are fully constrained, every recurrence output there is exactly 0,
+    and the halo contributions to the dot partials vanish numerically.
+    The elementwise outputs and the (r,u)/(r,r) partials write at
+    delivery (lag 0); w and the (w,u) partial lag one block behind, with
+    the two missing window neighbors (left of plane 0, right of plane
+    X_ext-1) selected to zero by traced guards.
+
+    The f32 partial rows sum over z then components (768-element chunks
+    vs dot_f64's 256) before the host-side f64 accumulate — the same
+    chunked-reduction contract (ADR-13), pinned by trajectory-parity
+    tests.  Reference analogue: one iteration of pcg.cpp:830-915, which
+    issues seven separate kernels' worth of work per iteration.
+    """
+    body = _make_fused_body(tables, y, z, ny, nz)
+
+    def kernel(ss_ref, mf_ref, xlo_ref, xhi_ref, m8_ref, alpha_ref,
+               beta_ref, tab_ref, x_ref, r_ref, u_ref, w_ref, p_ref,
+               s_ref, bc_ref, xo_ref, ro_ref, uo_ref, po_ref, so_ref,
+               pa_ref, wo_ref, pb_ref, u_cur, u_prev, free_prev, last_u):
+        i = pl.program_id(0)
+        xlo = xlo_ref[0, 0]
+        xhi = xhi_ref[0, 0]
+        alpha = alpha_ref[0, 0]
+        beta = beta_ref[0, 0]
+        new_free = 1.0 - bc_ref[...].astype(jnp.float32)
+        nonzero = new_free != 0.0
+
+        # ---- delivery: recurrence + axpys + pc, all plane-local ----
+        p_new = jnp.where(nonzero, u_ref[...] + beta * p_ref[...], 0.0)
+        s_new = jnp.where(nonzero, w_ref[...] + beta * s_ref[...], 0.0)
+        x_new = x_ref[...] + alpha * p_new
+        r_new = r_ref[...] - alpha * s_new
+        maps_int = _pc_coeff_maps(tab_ref, 1, y, z, ny, nz)
+        u_cur[...] = _pc_apply_value(maps_int, r_new, new_free)
+        # the final (lag-flush) grid step re-delivers the last block, so
+        # plane coordinates come from the CLAMPED block index
+        d = jnp.minimum(i, n_ext - 1)
+        for j in range(block):
+            for cls, face in ((0, xlo), (2, xhi)):
+
+                @pl.when(d * block + j - 1 == face)
+                def _(j=j, cls=cls):
+                    maps_f = _pc_coeff_maps(tab_ref, cls, y, z, ny, nz)
+                    u_cur[:, j] = _pc_apply_value(
+                        maps_f, r_new[:, j], new_free[:, j]
+                    )
+        u_val = u_cur[...]
+        xo_ref[...] = x_new
+        ro_ref[...] = r_new
+        uo_ref[...] = u_val
+        po_ref[...] = p_new
+        so_ref[...] = s_new
+        # delivery-time dot partials: rows sum over z then components.
+        # Layout (x_ext, dot, y): the blocked axis leads because TPU
+        # block tiling constrains only the LAST two dims
+        pa_ref[...] = jnp.stack(
+            [
+                jnp.sum(r_new * u_val, axis=(0, 3)),
+                jnp.sum(r_new * r_new, axis=(0, 3)),
+            ],
+            axis=1,
+        )
+
+        # ---- lag-1: stencil + (w,u) partial for the previous block ----
+        @pl.when(i >= 1)
+        def _():
+            ss = ss_ref[0, 0]
+            mf = mf_ref[0, 0]
+            row = jax.lax.broadcasted_iota(jnp.int32, (y, z), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (y, z), 1)
+            half, one = np.float32(0.5), np.float32(1.0)
+            wy = jnp.where((row == 0) | (row == ny), half, one)
+            wz = jnp.where((col == 0) | (col == nz), half, one)
+            wyz = wy * wz
+            zero_plane = jnp.zeros((3, y, z), jnp.float32)
+            prev_u = u_prev[...]
+            cur_u0 = u_cur[:, 0]
+            last = last_u[...]
+            prev_free = free_prev[...]
+            for k in range(block):
+                if k == 0:
+                    left = jnp.where(i == 1, zero_plane, last)
+                else:
+                    left = prev_u[:, k - 1]
+                if k == block - 1:
+                    right = jnp.where(i == n_ext, zero_plane, cur_u0)
+                else:
+                    right = prev_u[:, k + 1]
+                center = prev_u[:, k]
+                planes = {-1: left, 0: center, 1: right}
+                # x_ext plane g = (i-1)*block + k -> output plane g - 1
+                io = (i - 1) * block + k - 1
+                wx = jnp.where((io == xlo) | (io == xhi), half, one)
+                mass = (m8_ref[0, 0] * wx) * wyz
+                body(wo_ref, k, planes, center, prev_free[:, k], mass,
+                     ss, mf, io, xlo, xhi)
+                w_val = wo_ref[:, k]
+                pb_ref[k, 0] = jnp.sum(w_val * center, axis=(0, 2))
+
+        # rotate AFTER the lag-1 compute consumed the previous block
+        last_u[...] = u_prev[:, block - 1]
+        u_prev[...] = u_cur[...]
+        free_prev[...] = new_free
+
+    return kernel
+
+
+def pcg_iteration_fused_pallas(
+    model, table: jax.Array, carries, alpha, beta, stiffness_scale,
+    mass_factor, tables, *, interpret: bool = False
+):
+    """Run one whole PCG iteration (see :func:`_make_pcg_iter_kernel`) on
+    x_ext-padded carries ``(x, r, u, w, p, s)``; returns the six updated
+    padded carries plus f32 partial-row arrays ``(pa, pb)`` of shapes
+    (x_ext, 2, y) / (x_ext, 1, y) where ``pa[:, 0]/pa[:, 1]`` are the
+    (r,u)/(r,r) row partials and ``pb[:, 0]`` the (w,u) rows — accumulate
+    them in the reduction dtype host-side."""
+    x_p, r_p, u_p, w_p, p_p, s_p = carries
+    x_planes, y, z = model.grid_shape
+    block = _pick_block(x_planes)
+    assert block > 1, "iteration kernel is blocked-only"
+    x_ext = x_planes + block
+    assert x_p.shape[1] == x_ext, (x_p.shape, x_ext)
+    n_ext = x_ext // block
+    bc_pad = jnp.pad(
+        model.bc_mask.astype(jnp.int8),
+        ((0, 0), (1, block - 1), (0, 0), (0, 0)),
+        constant_values=1,
+    )
+    tab = jnp.transpose(
+        jnp.asarray(table, jnp.float32), (1, 0, 2, 3)
+    ).reshape(1, 3, 54)
+    kernel = _make_pcg_iter_kernel(
+        tables, block, y, z, model.ny, model.nz, n_ext
+    )
+    interior = np.asarray(tables[0])
+    flops = (2 * int((interior != 0).sum()) + 45) * x_planes * y * z
+
+    def smem_scalar(v, dtype=jnp.float32):
+        return jnp.asarray(v, dtype).reshape(1, 1)
+
+    smem = pl.BlockSpec((1, 1), lambda i: (i * 0, i * 0), memory_space=pltpu.SMEM)
+    # deliver block min(i, n_ext-1): the final (lag-flush) step re-delivers
+    # the last block and recomputes identical values — idempotent
+    cl = n_ext - 1
+    blk_in = pl.BlockSpec(
+        (3, block, y, z),
+        lambda i: (i * 0, jnp.minimum(i, cl), i * 0, i * 0),
+        memory_space=pltpu.VMEM,
+    )
+    blk_lag = pl.BlockSpec(
+        (3, block, y, z),
+        lambda i: (i * 0, jnp.maximum(i - 1, i * 0), i * 0, i * 0),
+        memory_space=pltpu.VMEM,
+    )
+    pa_spec = pl.BlockSpec(
+        (block, 2, y),
+        lambda i: (jnp.minimum(i, cl), i * 0, i * 0),
+        memory_space=pltpu.VMEM,
+    )
+    pb_spec = pl.BlockSpec(
+        (block, 1, y),
+        lambda i: (jnp.maximum(i - 1, i * 0), i * 0, i * 0),
+        memory_space=pltpu.VMEM,
+    )
+    vec = jax.ShapeDtypeStruct((3, x_ext, y, z), jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_ext + 1,),
+        in_specs=[
+            smem, smem, smem, smem, smem, smem, smem,
+            pl.BlockSpec(
+                (1, 3, 54),
+                lambda i: (i * 0, i * 0, i * 0),
+                memory_space=pltpu.SMEM,
+            ),
+            blk_in, blk_in, blk_in, blk_in, blk_in, blk_in, blk_in,
+        ],
+        out_specs=[
+            blk_in, blk_in, blk_in, blk_in, blk_in, pa_spec, blk_lag,
+            pb_spec,
+        ],
+        out_shape=[
+            vec, vec, vec, vec, vec,
+            jax.ShapeDtypeStruct((x_ext, 2, y), jnp.float32),
+            vec,
+            jax.ShapeDtypeStruct((x_ext, 1, y), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, block, y, z), jnp.float32),  # u (current)
+            pltpu.VMEM((3, block, y, z), jnp.float32),  # u (previous)
+            pltpu.VMEM((3, block, y, z), jnp.float32),  # free (previous)
+            pltpu.VMEM((3, y, z), jnp.float32),  # u, last plane of i-2
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=12 * x_p.size * 4 + bc_pad.size,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        smem_scalar(stiffness_scale), smem_scalar(mass_factor),
+        smem_scalar(0, jnp.int32), smem_scalar(model.nx, jnp.int32),
+        smem_scalar(_interior_mass(model)), smem_scalar(alpha),
+        smem_scalar(beta), tab, x_p, r_p, u_p, w_p, p_p, s_p, bc_pad,
+    )
+    x_o, r_o, u_o, p_o, s_o, pa, w_o, pb = outs
+    return (x_o, r_o, u_o, w_o, p_o, s_o), pa, pb

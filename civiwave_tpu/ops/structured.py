@@ -854,29 +854,121 @@ def apply_pc_keff_structured(
     them (newmark_stepper.cpp:787-841); fusing them is the TPU-native
     restatement.
     """
-    if (
+    if pc_keff_kernel_eligible(model, pc, residual.dtype):
+        from .pallas.structured_stencil import apply_pc_keff_fused_pallas
+
+        tables = _stencil_tables(model.spacing, model.lam0, model.mu0)
+        out = apply_pc_keff_fused_pallas(
+            model, pc.table, residual, stiffness_scale, mass_factor,
+            tables,
+        )
+        if out is not None:
+            return out
+    u = model.apply_preconditioner(pc, residual)
+    w = model.apply_keff(u, stiffness_scale, mass_factor)
+    return u, w
+
+
+# ms/iteration of a 64-iteration fixed solve on v5e (ADR-22), fused vs
+# classic: 2.65M DOF 1.16/1.08, 10.3M 3.75/3.56 (classic wins — the extra
+# s-recurrence costs more than the pc+matvec fusion saves), 21.2M
+# 4.73/4.99, 50.3M 7.80/8.01 (fused wins).  The 'auto' variant crosses
+# over between 3.4M and 7.1M NODES.
+_FUSED_VARIANT_NODE_THRESHOLD = 5_000_000
+
+
+def pc_keff_kernel_eligible(model: StructuredModel, pc, dtype) -> bool:
+    """Whether apply_pc_keff_structured will take the fused Pallas kernel
+    (homogeneous, unsharded, f32, large VMEM-fitting planes, even x-plane
+    count on the TPU backend)."""
+    if not (
         isinstance(pc, CompactBlockJacobi)
         and model.homogeneous
         and model.use_pallas
         and model.shard_mesh is None
-        and residual.dtype == jnp.float32
+        and dtype == jnp.float32
         and jax.default_backend() == "tpu"
         and int(np.prod(model.grid_shape)) > _FLAT_INTERIOR_NODE_THRESHOLD
     ):
-        from .pallas.structured_stencil import (
-            apply_pc_keff_fused_pallas,
-            plane_fits,
-        )
+        return False
+    from .pallas.structured_stencil import _pick_block, plane_fits
 
-        _, y, z = model.grid_shape
-        if plane_fits(y, z):
-            tables = _stencil_tables(model.spacing, model.lam0, model.mu0)
-            out = apply_pc_keff_fused_pallas(
-                model, pc.table, residual, stiffness_scale, mass_factor,
-                tables,
-            )
-            if out is not None:
-                return out
-    u = model.apply_preconditioner(pc, residual)
-    w = model.apply_keff(u, stiffness_scale, mass_factor)
-    return u, w
+    x_planes, y, z = model.grid_shape
+    return plane_fits(y, z) and _pick_block(x_planes) > 1
+
+
+def build_fused_pcg_iteration(
+    model: StructuredModel, pc, stiffness_scale, mass_factor,
+    reduction_dtype=jnp.float64, vector_dtype=jnp.float32,
+    *, interpret: bool | None = None,
+):
+    """Whole-iteration PCG kernel bundle, or None when ineligible.
+
+    Returns ``(iteration, pad, unpad)``: ``pad``/``unpad`` convert solver
+    vectors to/from the x_ext-padded carry layout (one constrained halo
+    plane left, block-1 right) and ``iteration(carries, alpha, beta)``
+    runs ONE Chronopoulos-Gear iteration — p/s recurrence, x/r axpys,
+    block-Jacobi apply, K_eff and all three dot products — as a single
+    Pallas pass, returning the updated padded carries and the
+    ``(gamma, delta, rr)`` reductions in ``reduction_dtype``.
+
+    Eligibility is the fused pc+matvec envelope (homogeneous, unsharded,
+    f32, large VMEM-fitting planes, even x-plane count); ``interpret``
+    forces/disables interpreter mode for CPU tests (None = hardware
+    gating).
+    """
+    import os
+
+    # opt-in (ADR-22): measured at 50.3M DOF on v5e the whole-iteration
+    # kernel is BANDWIDTH-serialized — its 13 block streams move 2.6 GB
+    # per iteration that the split form overlaps better (8.24 vs 7.80
+    # ms/iter).  Kept for higher-BW:VPU parts (v5p moves the same bytes
+    # in ~1 ms against the same VPU time), where the single-launch form
+    # should invert the verdict.
+    if os.environ.get("CIVIWAVE_MEGA_PCG", "0") != "1" and not interpret:
+        return None
+    if not (
+        isinstance(pc, CompactBlockJacobi)
+        and model.homogeneous
+        and model.use_pallas
+        and model.shard_mesh is None
+        and vector_dtype == jnp.float32
+        and int(np.prod(model.grid_shape)) > (
+            0 if interpret else _FLAT_INTERIOR_NODE_THRESHOLD
+        )
+    ):
+        return None
+    if interpret is None:
+        if jax.default_backend() != "tpu":
+            return None
+        interpret = False
+    from .pallas.structured_stencil import (
+        _pick_block,
+        pcg_iteration_fused_pallas,
+        plane_fits,
+    )
+
+    x_planes, y, z = model.grid_shape
+    if not plane_fits(y, z) or _pick_block(x_planes) == 1:
+        return None
+    block = _pick_block(x_planes)
+    tables = _stencil_tables(model.spacing, model.lam0, model.mu0)
+    rdt = reduction_dtype
+
+    def iteration(carries, alpha, beta):
+        new_carries, pa, pb = pcg_iteration_fused_pallas(
+            model, pc.table, carries, alpha, beta, stiffness_scale,
+            mass_factor, tables, interpret=interpret,
+        )
+        gamma = jnp.sum(pa[:, 0].astype(rdt))
+        rr = jnp.sum(pa[:, 1].astype(rdt))
+        delta = jnp.sum(pb[:, 0].astype(rdt))
+        return new_carries, (gamma, delta, rr)
+
+    def pad(v):
+        return jnp.pad(v, ((0, 0), (1, block - 1), (0, 0), (0, 0)))
+
+    def unpad(v):
+        return v[:, 1 : 1 + x_planes]
+
+    return iteration, pad, unpad

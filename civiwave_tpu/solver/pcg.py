@@ -150,26 +150,39 @@ def solve_pcg(
 
     ``variant``: 'classic' is the reference's 3-dot loop (pcg.cpp:830-915);
     'fused' is the Chronopoulos-Gear single-reduction recurrence (one
-    all-reduce per iteration — see :func:`solve_pcg_fused`).
+    all-reduce per iteration — see :func:`solve_pcg_fused`); 'auto' (the
+    default) picks 'fused' when the model can run the whole-iteration
+    Pallas kernel (large structured TPU grids — see
+    :func:`_solve_pcg_megafused`) or when it is GSPMD-sharded (one
+    all-reduce per iteration instead of 2-3), and 'classic' otherwise.
     """
+    block_inverse = (
+        model.build_preconditioner(stiffness_scale, mass_factor)
+        if preconditioner is None
+        else preconditioner
+    )
+    if variant == "auto":
+        # fused when the structured model profits from the pc+matvec
+        # kernel at this size (ADR-22 crossover) or under GSPMD (one
+        # all-reduce per iteration instead of 2-3); classic otherwise
+        prefers = getattr(model, "prefers_fused_pcg", None)
+        kernel_pref = prefers is not None and prefers(
+            block_inverse, vector_dtype
+        )
+        sharded = getattr(model, "shard_mesh", None) is not None
+        variant = "fused" if (kernel_pref or sharded) else "classic"
     if variant == "fused":
         return solve_pcg_fused(
             model, rhs, stiffness_scale, mass_factor, relative_tolerance,
             max_iterations, x0, warm_start=warm_start,
             reduction_dtype=reduction_dtype, vector_dtype=vector_dtype,
-            preconditioner=preconditioner,
+            preconditioner=block_inverse,
         )
     f32 = vector_dtype
     rdt = reduction_dtype
 
     def rdot(a, b):
         return dot_f64(a, b, rdt)
-
-    block_inverse = (
-        model.build_preconditioner(stiffness_scale, mass_factor)
-        if preconditioner is None
-        else preconditioner
-    )
 
     x = x0 if warm_start else jnp.zeros_like(x0)
 
@@ -349,6 +362,23 @@ def solve_pcg_fused(
         else preconditioner
     )
 
+    # whole-iteration kernel path: on the eligible structured TPU path the
+    # ENTIRE iteration (p/s recurrence, axpys, pc apply, matvec, all three
+    # dots) is one Pallas pass — see _solve_pcg_megafused
+    builder = getattr(model, "build_fused_pcg_iteration", None)
+    if builder is not None:
+        bundle = builder(
+            block_inverse, stiffness_scale, mass_factor, rdt, f32
+        )
+        if bundle is not None:
+            return _solve_pcg_megafused(
+                model, rhs, stiffness_scale, mass_factor,
+                relative_tolerance, max_iterations, x0,
+                warm_start=warm_start, reduction_dtype=rdt,
+                vector_dtype=f32, block_inverse=block_inverse,
+                bundle=bundle,
+            )
+
     x = x0 if warm_start else jnp.zeros_like(x0)
 
     ax = model.apply_keff(x, stiffness_scale, mass_factor)
@@ -467,3 +497,162 @@ def solve_pcg_fused(
         breakdown=final.breakdown,
     )
     return final.x, telemetry
+
+
+class _MegaCarry(NamedTuple):
+    x: jax.Array  # all six vectors in the x_ext-PADDED carry layout
+    r: jax.Array
+    u: jax.Array  # M^-1 r of the current iterate
+    w: jax.Array  # K_eff u (recurred through the kernel)
+    p: jax.Array  # direction of the PREVIOUS iterate (updated in-kernel)
+    s: jax.Array  # K_eff p of the previous iterate
+    gamma: jax.Array
+    alpha: jax.Array  # step to apply next
+    beta: jax.Array  # direction-update scalar to apply next
+    residual_norm: jax.Array
+    alpha_last: jax.Array
+    beta_last: jax.Array
+    iteration: jax.Array
+    converged: jax.Array
+    breakdown: jax.Array
+
+
+def _solve_pcg_megafused(
+    model,
+    rhs: jax.Array,
+    stiffness_scale,
+    mass_factor,
+    relative_tolerance,
+    max_iterations,
+    x0: jax.Array,
+    *,
+    warm_start: bool,
+    reduction_dtype,
+    vector_dtype,
+    block_inverse,
+    bundle,
+):
+    """Chronopoulos-Gear PCG with the WHOLE iteration as one Pallas pass.
+
+    Same algebra as :func:`solve_pcg_fused` with the p/s direction update
+    deferred across the loop boundary: body n feeds (u_{n-1}, w_{n-1},
+    p_{n-2}, s_{n-2}, alpha_{n-1}, beta_{n-1}) to the kernel, which forms
+    p_{n-1}/s_{n-1} in-flight, applies the axpys, preconditions, applies
+    the operator and emits the three dot reductions — identical iterates,
+    the update merely crosses into the next kernel launch.  The p/s
+    stop-gating of solve_pcg_fused is dropped: on exit those carries are
+    one iterate old and consumed by nothing (the gating there preserved
+    dead values).  Dot chunking is z-row-then-components f32 partials
+    accumulated in ``reduction_dtype`` (ADR-13 contract; trajectory
+    parity vs the classic loop pinned by tests).
+    """
+    f32 = vector_dtype
+    rdt = reduction_dtype
+    iteration, pad, unpad = bundle
+
+    x = x0 if warm_start else jnp.zeros_like(x0)
+    ax = model.apply_keff(x, stiffness_scale, mass_factor)
+    r = (rhs - ax).astype(f32)
+    x, r = _clamp_dirichlet(model, rhs, x, r)
+
+    with jax.named_scope("pcg_pc_matvec"):
+        u, w = model.apply_pc_keff(
+            block_inverse, r, stiffness_scale, mass_factor
+        )
+    gamma0, delta0, rr0, rhs2 = fused_dots(
+        [(r, u), (w, u), (r, r), (rhs, rhs)], rdt
+    )
+    rhs_norm_true = jnp.sqrt(rhs2)
+    rhs_norm = jnp.where(rhs_norm_true < _RHS_NORM_FLOOR, 1.0, rhs_norm_true)
+    tolerance = relative_tolerance * rhs_norm
+
+    residual_norm = jnp.sqrt(rr0)
+    converged0 = residual_norm <= tolerance
+
+    delta_breakdown0 = jnp.abs(delta0) < _BREAKDOWN_TOL
+    breakdown0 = jnp.logical_and(jnp.logical_not(converged0), delta_breakdown0)
+    alpha0 = gamma0 / jnp.where(delta_breakdown0, 1.0, delta0)
+
+    x_p = pad(x)
+    zeros_p = jnp.zeros_like(x_p)
+    max_iters = jnp.asarray(max_iterations, dtype=jnp.int32)
+
+    def cond(c: _MegaCarry):
+        return jnp.logical_and(
+            c.iteration < max_iters,
+            jnp.logical_and(
+                jnp.logical_not(c.converged), jnp.logical_not(c.breakdown)
+            ),
+        )
+
+    def body(c: _MegaCarry) -> _MegaCarry:
+        with jax.named_scope("pcg_mega_iteration"):
+            (nx_, nr, nu, nw, np_, ns), (gamma_new, delta, rr) = iteration(
+                (c.x, c.r, c.u, c.w, c.p, c.s),
+                c.alpha.astype(f32),
+                c.beta.astype(f32),
+            )
+        residual_norm = jnp.sqrt(rr)
+        converged = residual_norm <= tolerance
+
+        gamma_breakdown = jnp.abs(c.gamma) < _BREAKDOWN_TOL
+        beta = gamma_new / jnp.where(gamma_breakdown, 1.0, c.gamma)
+        alpha_denom = delta - beta * gamma_new / jnp.where(
+            jnp.abs(c.alpha) < _BREAKDOWN_TOL, 1.0, c.alpha
+        )
+        denom_breakdown = jnp.abs(alpha_denom) < _BREAKDOWN_TOL
+        alpha_new = gamma_new / jnp.where(denom_breakdown, 1.0, alpha_denom)
+
+        breakdown = jnp.logical_and(
+            jnp.logical_not(converged),
+            jnp.logical_or(gamma_breakdown, denom_breakdown),
+        )
+        stop = jnp.logical_or(converged, breakdown)
+
+        return _MegaCarry(
+            x=nx_,
+            r=nr,
+            u=nu,
+            w=nw,
+            p=np_,
+            s=ns,
+            gamma=jnp.where(stop, c.gamma, gamma_new),
+            alpha=jnp.where(stop, c.alpha, alpha_new),
+            beta=jnp.where(stop, c.beta, beta),
+            residual_norm=residual_norm,
+            alpha_last=c.alpha,  # the step just applied
+            beta_last=jnp.where(stop, c.beta_last, beta),
+            iteration=c.iteration + 1,
+            converged=converged,
+            breakdown=breakdown,
+        )
+
+    init = _MegaCarry(
+        x=x_p,
+        r=pad(r),
+        u=pad(u),
+        w=pad(w),
+        p=zeros_p,  # beta0 = 0: the first in-kernel update forms p0 = u0
+        s=zeros_p,
+        gamma=gamma0,
+        alpha=alpha0,
+        beta=jnp.asarray(0.0, rdt),
+        residual_norm=residual_norm,
+        alpha_last=jnp.asarray(0.0, rdt),
+        beta_last=jnp.asarray(0.0, rdt),
+        iteration=jnp.asarray(0, jnp.int32),
+        converged=converged0,
+        breakdown=breakdown0,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+
+    telemetry = PcgTelemetry(
+        iterations=final.iteration,
+        residual_norm=final.residual_norm,
+        rhs_norm=rhs_norm_true,
+        alpha_last=final.alpha_last,
+        beta_last=final.beta_last,
+        converged=final.converged,
+        breakdown=final.breakdown,
+    )
+    return unpad(final.x), telemetry

@@ -111,7 +111,7 @@ def newmark_step(
     newmark_gamma: float = 0.5,
     warm_start: bool = True,
     warm_start_policy: str = "predictor",
-    solver_variant: str = "classic",
+    solver_variant: str = "auto",
     reduction_precision: str = "fp64",
     vector_precision: str = "fp32",
     preconditioner=None,
@@ -281,7 +281,7 @@ class NewmarkStepper:
         self.solver_variant = (
             solver_variant
             if solver_variant is not None
-            else getattr(solver_settings, "variant", "classic")
+            else getattr(solver_settings, "variant", "auto")
         )
 
         self._step_fn = jax.jit(

@@ -307,7 +307,7 @@ def test_precision_values_validated(tmp_path):
 
 def test_solver_variant_and_warm_start_policy_defaults():
     cfg = parse_config_node(make_config_dict())
-    assert cfg.solver.variant == "classic"
+    assert cfg.solver.variant == "auto"
     assert cfg.solver.warm_start_policy == "predictor"
 
 
@@ -331,7 +331,7 @@ def test_solver_variant_fused_parses():
 
 def test_solver_variant_validated():
     _expect(
-        "solver.variant must be 'classic' or 'fused'",
+        "solver.variant must be 'auto', 'classic' or 'fused'",
         solver={
             "type": "pcg",
             "preconditioner": "bj",

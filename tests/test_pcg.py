@@ -376,3 +376,51 @@ def test_fused_dots_match_separate_dots(rng):
         float(dot_f64(a, b)), float(dot_f64(b, c)), float(dot_f64(a, a))
     ])
     np.testing.assert_allclose(fused, sep, rtol=1e-14)
+
+
+def test_megafused_iteration_loop_matches_fused():
+    """The whole-iteration-kernel loop (_solve_pcg_megafused, interpret
+    mode) reproduces the fused variant's trajectory: same iteration
+    count, matching solution, telemetry semantics intact.  The kernel
+    folds the p/s recurrence, the x/r axpys, the block-Jacobi apply, the
+    operator and all three dot partials into one Pallas pass (ADR-22:
+    opt-in on v5e where it is bandwidth-serialized; built for
+    higher-BW:VPU parts)."""
+    from civiwave_tpu.mesh.structured import build_structured_model
+    from civiwave_tpu.ops import structured as sops
+    from civiwave_tpu.solver.pcg import _solve_pcg_megafused, solve_pcg_fused
+    from civiwave_tpu.utils.synthetic import cantilever_config
+
+    cfg = cantilever_config(traction=-1.0e6)
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    model, force = build_structured_model(
+        5, 4, 3, mats[0], cfg.materials[0].density,
+        fixed_axis_planes=("x0",),
+        traction=(0.0, 0.0, -1.0e6), traction_plane="x1",
+    )  # 6 x-planes -> block 2
+    ss, mf = np.float32(1.0), np.float32(4.0e6)
+    pc = model.build_preconditioner(ss, mf)
+    rhs = jnp.where(model.bc_mask, model.bc_value, force)
+    x0 = jnp.zeros(model.vector_shape, jnp.float32)
+
+    x_ref, tel_ref = solve_pcg_fused(
+        model, rhs, ss, mf, 1e-8, 500, x0, warm_start=False,
+        preconditioner=pc,
+    )
+    bundle = sops.build_fused_pcg_iteration(
+        model, pc, ss, mf, interpret=True
+    )
+    assert bundle is not None
+    x_m, tel_m = _solve_pcg_megafused(
+        model, rhs, ss, mf, 1e-8, 500, x0, warm_start=False,
+        reduction_dtype=jnp.float64, vector_dtype=jnp.float32,
+        block_inverse=pc, bundle=bundle,
+    )
+    assert bool(tel_m.converged) and not bool(tel_m.breakdown)
+    # dot chunking differs (768- vs 256-element f32 partial chunks), so
+    # iterates drift at the ulp level; counts within 1, solutions match
+    assert abs(int(tel_m.iterations) - int(tel_ref.iterations)) <= 1
+    ref = np.abs(np.asarray(x_ref)).max() + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(x_m), np.asarray(x_ref), atol=2e-5 * ref
+    )

@@ -326,7 +326,9 @@ def test_solver_settings_knobs_thread_into_stepper():
     )
     assert stepper_fused.solver_variant == "fused"
     assert stepper_fused.warm_start_policy == "solution"
-    assert stepper_classic.solver_variant == "classic"
+    # the YAML default is now 'auto' (ADR-22), which resolves to the
+    # classic loop on small/CPU models inside solve_pcg
+    assert stepper_classic.solver_variant == "auto"
     assert stepper_classic.warm_start_policy == "predictor"
 
     for frame in range(3):
