@@ -336,6 +336,24 @@ def _bleed_taps(
 # the standalone operator, the honest headline.
 _FLAT_INTERIOR_NODE_THRESHOLD = 700_000
 
+# Fused-stream-kernel dispatch floor (ADR-23, measured on v5e): the kernel
+# matches or beats the XLA forms from ~500k nodes up PROVIDED the (Y, Z)
+# plane carries enough work per grid step — on tiny planes the ~5 us
+# per-step pipeline latency dominates (0.601 XLA vs 0.704 kernel ms at
+# 96x56x56; 0.707 kernel vs 0.792 XLA at 79^3; 1.21 vs 4.48 at 144x88x88).
+_KERNEL_MIN_NODES = 500_000
+_KERNEL_MIN_PLANE = 5_000  # y*z lanes per plane
+
+
+def stream_kernel_profitable(model: StructuredModel) -> bool:
+    """Whether the fused Pallas stream kernels beat the XLA forms at this
+    grid's shape (node count + plane-size floors, measured in ADR-23)."""
+    _, y, z = model.grid_shape
+    return (
+        int(np.prod(model.grid_shape)) > _KERNEL_MIN_NODES
+        and y * z >= _KERNEL_MIN_PLANE
+    )
+
 
 def _interior_dispatch(
     model: StructuredModel, xs: jax.Array, interior: np.ndarray
@@ -570,10 +588,7 @@ def apply_keff_structured(
         from .pallas.structured_stencil import plane_fits
 
         _, _, y, z = x.shape
-        if (
-            int(np.prod(model.grid_shape)) > _FLAT_INTERIOR_NODE_THRESHOLD
-            and plane_fits(y, z)
-        ):
+        if stream_kernel_profitable(model) and plane_fits(y, z):
             return _apply_fused_pallas(model, x, stiffness_scale, mass_factor)
     xs = jnp.where(model.bc_mask, 0.0, x)
     if model.homogeneous:
@@ -782,7 +797,7 @@ def apply_compact_preconditioner_structured(
         and model.shard_mesh is None
         and residual.dtype == jnp.float32
         and jax.default_backend() == "tpu"
-        and int(np.prod(model.grid_shape)) > _FLAT_INTERIOR_NODE_THRESHOLD
+        and stream_kernel_profitable(model)
     ):
         from .pallas.structured_stencil import plane_fits
 
@@ -888,7 +903,7 @@ def pc_keff_kernel_eligible(model: StructuredModel, pc, dtype) -> bool:
         and model.shard_mesh is None
         and dtype == jnp.float32
         and jax.default_backend() == "tpu"
-        and int(np.prod(model.grid_shape)) > _FLAT_INTERIOR_NODE_THRESHOLD
+        and stream_kernel_profitable(model)
     ):
         return False
     from .pallas.structured_stencil import _pick_block, plane_fits
@@ -933,9 +948,7 @@ def build_fused_pcg_iteration(
         and model.use_pallas
         and model.shard_mesh is None
         and vector_dtype == jnp.float32
-        and int(np.prod(model.grid_shape)) > (
-            0 if interpret else _FLAT_INTERIOR_NODE_THRESHOLD
-        )
+        and (interpret or stream_kernel_profitable(model))
     ):
         return None
     if interpret is None:

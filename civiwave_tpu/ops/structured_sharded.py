@@ -41,6 +41,8 @@ from jax.sharding import PartitionSpec as P
 
 from .structured import (
     _FLAT_INTERIOR_NODE_THRESHOLD,
+    _KERNEL_MIN_NODES,
+    _KERNEL_MIN_PLANE,
     _apply_taps,
     _apply_taps_axis,
     _interior_flat,
@@ -71,14 +73,17 @@ def apply_keff_structured_sharded(
     tables = _stencil_tables(model.spacing, model.lam0, model.mu0)
 
     # kernel choice is per-LOCAL-slab: the Pallas kernel wins on large
-    # planes on real TPUs; tests force it via pallas_interpret on CPU
+    # planes on real TPUs (ADR-23: node-count + plane-size floors); tests
+    # force it via pallas_interpret on CPU
     local_nodes = x_local * (model.ny + 1) * (model.nz + 1)
+    plane_lanes = (model.ny + 1) * (model.nz + 1)
     use_kernel = x.dtype == jnp.float32 and (
         model.pallas_interpret
         or (
             model.use_pallas
             and jax.default_backend() == "tpu"
-            and local_nodes > _FLAT_INTERIOR_NODE_THRESHOLD
+            and local_nodes > _KERNEL_MIN_NODES
+            and plane_lanes >= _KERNEL_MIN_PLANE
         )
     )
     if use_kernel:
