@@ -415,6 +415,28 @@ def parse_config_node(root: Any) -> Config:
             probes.append(_as_uint(item, ["output", "probes", f"[{i}]"]))
     output = OutputSettings(vtu_stride, tuple(probes))
 
+    # boundaries (extension; absent = reference-compatible behavior) ----------
+    absorbing: List[str] = []
+    boundaries_node = root.get("boundaries")
+    if boundaries_node is not None:
+        if not isinstance(boundaries_node, dict):
+            raise _err("boundaries must be a map when present", ["boundaries"])
+        absorbing_node = boundaries_node.get("absorbing")
+        if absorbing_node is not None:
+            if not isinstance(absorbing_node, list):
+                raise _err(
+                    "boundaries.absorbing must be a sequence of group names",
+                    ["boundaries", "absorbing"],
+                )
+            for i, item in enumerate(absorbing_node):
+                name = _as_str(item, ["boundaries", "absorbing", f"[{i}]"])
+                if not name:
+                    raise _err(
+                        "absorbing group name must be non-empty",
+                        ["boundaries", "absorbing", f"[{i}]"],
+                    )
+                absorbing.append(name)
+
     return Config(
         mesh_path=mesh_path,
         materials=tuple(materials),
@@ -427,4 +449,5 @@ def parse_config_node(root: Any) -> Config:
         curves=curves,
         dirichlet=tuple(dirichlet),
         output=output,
+        absorbing=tuple(absorbing),
     )

@@ -132,7 +132,13 @@ class OutputSettings:
 
 @dataclass(frozen=True)
 class Config:
-    """Full scenario bundle (config.hpp:224-237)."""
+    """Full scenario bundle (config.hpp:224-237).
+
+    ``absorbing`` extends the reference schema (which has no absorbing
+    boundaries anywhere): surface-group names whose faces receive
+    Lysmer-Kuhlemeyer viscous dashpots (physics/absorbing.py) — the
+    truncated-domain machinery BASELINE.json's seismic-basin config
+    needs.  Optional; omitted = byte-compatible reference behavior."""
 
     mesh_path: str
     materials: Tuple[Material, ...]
@@ -145,3 +151,4 @@ class Config:
     curves: Dict[str, Curve] = field(default_factory=dict)
     dirichlet: Tuple[DirichletFix, ...] = ()
     output: OutputSettings = OutputSettings(vtu_stride=1)
+    absorbing: Tuple[str, ...] = ()

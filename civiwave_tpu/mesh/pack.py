@@ -43,7 +43,7 @@ zero mass — exact no-ops in the solver.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -233,6 +233,12 @@ class PackedModel:
     lam: jax.Array  # (M,) f32
     mu: jax.Array  # (M,) f32
     stiffness_6x6: jax.Array  # (M, 6, 6) f32
+    # Lysmer-Kuhlemeyer absorbing dashpots (physics/absorbing.py; None
+    # when the scenario declares no absorbing groups).  damp_blocks is the
+    # (N*, 6) sym-packed per-node C; damp_factor is the Newmark a1 scalar
+    # the stepper injects per step (K_eff += a1 C) — None outside a step.
+    damp_blocks: Optional[jax.Array] = None
+    damp_factor: Optional[jax.Array] = None
     # static metadata
     node_count: int = field(metadata=dict(static=True), default=0)
     padded_node_count: int = field(metadata=dict(static=True), default=0)
@@ -242,6 +248,8 @@ class PackedModel:
     padded_hex_count: int = field(metadata=dict(static=True), default=0)
     element_count: int = field(metadata=dict(static=True), default=0)
     csr_degree: int = field(metadata=dict(static=True), default=8)
+    # static gate for the absorbing term (False = zero-cost legacy path)
+    has_damping: bool = field(metadata=dict(static=True), default=False)
     # banded gather windows (ADR-20); () = unwindowed fallback.  Elements
     # are pack-sorted by min corner node so corner ids per chunk span a
     # bounded window of the x table, and per-node incident rows span a
@@ -318,6 +326,18 @@ class PackedModel:
         path; the structured model overrides this with a fused kernel."""
         u = self.apply_preconditioner(block_inverse, residual)
         return u, self.apply_keff(u, stiffness_scale, mass_factor)
+
+    def absorbing_force(self, v: jax.Array) -> jax.Array:
+        """C v from the Lysmer-Kuhlemeyer dashpots, zeroed on constrained
+        axes (zero array when the scenario has no absorbing boundaries) —
+        the damping-force contribution the Newmark RHS adds as
+        C (a1 u + a4 v + a5 a), mirroring the reference's Rayleigh mass
+        term shape (newmark.cpp:102-133)."""
+        if not self.has_damping:
+            return jnp.zeros_like(v)
+        from ..physics.absorbing import sym_apply
+
+        return jnp.where(self.bc_mask, 0.0, sym_apply(self.damp_blocks, v))
 
 
 @jax.tree_util.register_dataclass
@@ -431,6 +451,18 @@ def build_packed_model(
     bc_mask[n:] = True  # padded nodes are fully constrained no-ops
     bc_value = np.zeros((n_pad, 3), dtype=np.float32)
     bc_value[:n] = clamp_to_f32(dirichlet.targets.reshape(n, 3))
+
+    # Lysmer-Kuhlemeyer absorbing dashpots (extension; None when the YAML
+    # declares no boundaries.absorbing groups)
+    from ..physics import absorbing as absorbing_mod
+
+    damp_np = absorbing_mod.assemble_dashpots(mesh, preprocess, cfg, materials)
+    if damp_np is not None:
+        padded = np.zeros((n_pad, 6), dtype=np.float32)
+        padded[:n] = clamp_to_f32(damp_np)
+        damp_blocks = jnp.asarray(padded)
+    else:
+        damp_blocks = None
 
     load = loads_mod.assemble_load_vector(mesh, cfg, preprocess, 0.0)
     external_force = np.zeros((n_pad, 3), dtype=np.float32)
@@ -555,6 +587,8 @@ def build_packed_model(
         lam=jnp.asarray(clamp_to_f32(lam_np)),
         mu=jnp.asarray(clamp_to_f32(mu_np)),
         stiffness_6x6=jnp.asarray(clamp_to_f32(d_np)),
+        damp_blocks=damp_blocks,
+        has_damping=damp_blocks is not None,
         node_count=n,
         padded_node_count=n_pad,
         tet_count=t,

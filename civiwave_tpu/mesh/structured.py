@@ -112,6 +112,17 @@ class StructuredModel:
     preconditioner: str = field(
         metadata=dict(static=True), default="block_jacobi"
     )
+    # Lysmer-Kuhlemeyer absorbing axis planes (physics/absorbing.py;
+    # extension — the reference has none): face tags "x0".."z1" receiving
+    # viscous dashpots with per-unit-area normal/tangential impedances
+    # rho*c_p / rho*c_s (homogeneous material).  damp_factor is the
+    # Newmark a1 scalar the stepper injects per step (K_eff += a1 C).
+    absorb_faces: Tuple[str, ...] = field(
+        metadata=dict(static=True), default=()
+    )
+    rho_cp: float = field(metadata=dict(static=True), default=0.0)
+    rho_cs: float = field(metadata=dict(static=True), default=0.0)
+    damp_factor: Optional[jax.Array] = None
 
     @property
     def lam_cells(self) -> jax.Array:
@@ -194,6 +205,14 @@ class StructuredModel:
         return _ops.build_block_jacobi_inverse_structured(
             self, stiffness_scale, mass_factor
         )
+
+    def absorbing_force(self, v: jax.Array) -> jax.Array:
+        """C v from the Lysmer-Kuhlemeyer face dashpots, bc-masked (zero
+        array when the model has no absorbing faces) — the Newmark RHS
+        damping-force contribution."""
+        from ..ops import structured as _ops
+
+        return _ops.absorbing_force_structured(self, v)
 
     def prefers_fused_pcg(self, block_inverse, vector_dtype) -> bool:
         """'auto' variant probe: Chronopoulos-Gear + the fused pc+matvec
@@ -317,6 +336,7 @@ def build_structured_model(
     mu_grid: Optional[np.ndarray] = None,
     pad_x_multiple: int = 1,
     fixes=None,
+    absorb_planes: Tuple[str, ...] = (),
 ):
     """Build the structured cantilever-style model + initial force.
 
@@ -423,6 +443,12 @@ def build_structured_model(
         homogeneous=homogeneous,
         lam0=lam0,
         mu0=mu0,
+        absorb_faces=tuple(absorb_planes),
+        # per-unit-area Lysmer-Kuhlemeyer impedances (exact for the
+        # homogeneous grid the structured path requires)
+        rho_cp=float(np.sqrt(density * (lam0 + 2.0 * mu0)))
+        if absorb_planes else 0.0,
+        rho_cs=float(np.sqrt(density * mu0)) if absorb_planes else 0.0,
     )
     force = jnp.asarray(
         force_grid.transpose(3, 0, 1, 2).astype(np.float32)

@@ -32,7 +32,13 @@ from .structured import StructuredModel, build_structured_model, traction_force_
 BOX_PREFIX = "synthetic://box/"
 
 # the synthetic box mesh's physical groups sit on these axis planes
-_PLANE_OF_GROUP = {"FIXED": "x0", "LOAD_FACE": "x1"}
+# (SIDE_* are the optional six-face groups of box_mesh(side_groups=True))
+_PLANE_OF_GROUP = {
+    "FIXED": "x0", "LOAD_FACE": "x1",
+    "SIDE_X0": "x0", "SIDE_X1": "x1",
+    "SIDE_Y0": "y0", "SIDE_Y1": "y1",
+    "SIDE_Z0": "z0", "SIDE_Z1": "z1",
+}
 
 
 def parse_box_spec(mesh_path: str) -> Tuple[int, int, int, bool, float]:
@@ -83,6 +89,8 @@ def try_build_structured(
         return None
     if any(f.group not in _PLANE_OF_GROUP for f in cfg.dirichlet):
         return None
+    if any(g not in _PLANE_OF_GROUP for g in cfg.absorbing):
+        return None
 
     props = materials.make_properties(cfg.materials[0])
     fixes = [
@@ -95,6 +103,9 @@ def try_build_structured(
         fixes=fixes,
         gravity=cfg.loads.gravity,
         pad_x_multiple=pad_x_multiple,
+        absorb_planes=tuple(
+            _PLANE_OF_GROUP[g] for g in cfg.absorbing
+        ),
     )
     curve_parts: List[Tuple[str, jax.Array]] = []
     for t in cfg.loads.tractions:

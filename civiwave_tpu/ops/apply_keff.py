@@ -315,4 +315,13 @@ def apply_keff(
         rows = element_force_rows(model, xs, stiffness_scale)
         out = assemble(model, rows)
     out = out + (mass_factor * model.lumped_mass)[:, None] * xs
-    return jnp.where(model.bc_mask, x, out)
+    out = jnp.where(model.bc_mask, x, out)
+    if model.has_damping and model.damp_factor is not None:
+        # Lysmer-Kuhlemeyer dashpots enter K_eff as + a1 * C
+        # (physics/absorbing.py); free-row masking on BOTH sides (xs is
+        # input-sanitized) keeps the operator symmetric for CG.
+        from ..physics.absorbing import sym_apply
+
+        term = model.damp_factor * sym_apply(model.damp_blocks, xs)
+        out = out + jnp.where(model.bc_mask, 0.0, term)
+    return out

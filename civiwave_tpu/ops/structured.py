@@ -570,8 +570,17 @@ def apply_keff_structured(
     model: StructuredModel, x: jax.Array, stiffness_scale, mass_factor
 ) -> jax.Array:
     """K_eff * x in CSG layout; semantics match the general operator exactly
-    (sanitize -> stiffness -> scale -> mass term -> identity rows).
+    (sanitize -> stiffness -> scale -> mass term -> identity rows), plus
+    the absorbing-face dashpot term when the stepper injected a1
+    (add_absorbing_operator_term — O(surface) face-plane updates).
     """
+    out = _apply_keff_structured_base(model, x, stiffness_scale, mass_factor)
+    return add_absorbing_operator_term(model, out, x)
+
+
+def _apply_keff_structured_base(
+    model: StructuredModel, x: jax.Array, stiffness_scale, mass_factor
+) -> jax.Array:
     if model.shard_mesh is not None and model.homogeneous:
         from .structured_sharded import apply_keff_structured_sharded
 
@@ -878,7 +887,10 @@ def apply_pc_keff_structured(
             tables,
         )
         if out is not None:
-            return out
+            u, w = out
+            # the kernel computes ss*K + mf*M; the absorbing dashpot term
+            # (+ a1 C u) rides as O(surface) face-plane updates
+            return u, add_absorbing_operator_term(model, w, u)
     u = model.apply_preconditioner(pc, residual)
     w = model.apply_keff(u, stiffness_scale, mass_factor)
     return u, w
@@ -942,6 +954,10 @@ def build_fused_pcg_iteration(
     # should invert the verdict.
     if os.environ.get("CIVIWAVE_MEGA_PCG", "0") != "1" and not interpret:
         return None
+    if model.absorb_faces:
+        # the whole-iteration kernel computes w in-kernel and cannot carry
+        # the absorbing face term; the split path adds it post-kernel
+        return None
     if not (
         isinstance(pc, CompactBlockJacobi)
         and model.homogeneous
@@ -985,3 +1001,78 @@ def build_fused_pcg_iteration(
         return v[:, 1 : 1 + x_planes]
 
     return iteration, pad, unpad
+
+
+# --------------------------------------------------------------------------
+# Lysmer-Kuhlemeyer absorbing faces (CSG layout; physics/absorbing.py)
+# --------------------------------------------------------------------------
+
+_FACE_TAGS = {"x0": (0, 0), "x1": (0, 1), "y0": (1, 0), "y1": (1, 1),
+              "z0": (2, 0), "z1": (2, 1)}
+
+
+def _face_damp_terms(model: StructuredModel, x: jax.Array):
+    """Yield (plane_index_tuple, masked C .dot x term) per absorbing face.
+
+    Per node on face (axis, side): C is diagonal in the grid frame —
+    rho*c_p against the normal component, rho*c_s tangential — times the
+    tributary face area (spacing product of the in-plane axes with the
+    same half-weights at plane edges as the lumped mass).  Output
+    components on constrained axes are zeroed; the input plane is
+    sanitized, so the effective operator term is P_free C P_free —
+    symmetric, as CG requires.
+    """
+    hx, hy, hz = model.spacing
+    extents = (model.nx, model.ny, model.nz)
+    spacings = (hx, hy, hz)
+    for tag in model.absorb_faces:
+        axis, side = _FACE_TAGS[tag]
+        pos = 0 if side == 0 else extents[axis]
+        in_plane = [a for a in range(3) if a != axis]
+        area = float(spacings[in_plane[0]] * spacings[in_plane[1]])
+        sl = [slice(None)] * 4
+        sl[1 + axis] = pos
+        sl = tuple(sl)
+        x_plane = x[sl]  # (3, d1, d2)
+        bc_plane = model.bc_mask[sl]
+        xs_plane = jnp.where(bc_plane, 0.0, x_plane)
+        d1, d2 = x_plane.shape[1], x_plane.shape[2]
+        r1 = jax.lax.broadcasted_iota(jnp.int32, (d1, d2), 0)
+        r2 = jax.lax.broadcasted_iota(jnp.int32, (d1, d2), 1)
+        half, one = np.float32(0.5), np.float32(1.0)
+        w1 = jnp.where((r1 == 0) | (r1 == extents[in_plane[0]]), half, one)
+        w2 = jnp.where((r2 == 0) | (r2 == extents[in_plane[1]]), half, one)
+        aw = np.float32(area) * (w1 * w2)  # (d1, d2) tributary areas
+        coef = np.array(
+            [model.rho_cs, model.rho_cs, model.rho_cs], np.float32
+        )
+        coef[axis] = np.float32(model.rho_cp)
+        term = jnp.asarray(coef)[:, None, None] * (aw[None] * xs_plane)
+        yield sl, jnp.where(bc_plane, 0.0, term)
+
+
+def add_absorbing_operator_term(
+    model: StructuredModel, out: jax.Array, x: jax.Array
+) -> jax.Array:
+    """out += damp_factor * C x on the absorbing face planes (no-op when
+    the model has no absorbing faces or the stepper has not injected the
+    Newmark a1 factor).  Applied AFTER identity rows — the term is
+    bc-masked, so constrained entries stay exactly the passthrough."""
+    if not model.absorb_faces or model.damp_factor is None:
+        return out
+    factor = jnp.asarray(model.damp_factor, out.dtype)
+    for sl, term in _face_damp_terms(model, x):
+        out = out.at[sl].add(factor * term.astype(out.dtype))
+    return out
+
+
+def absorbing_force_structured(
+    model: StructuredModel, v: jax.Array
+) -> jax.Array:
+    """C v (no a1 factor) — the Newmark RHS damping-force contribution."""
+    out = jnp.zeros_like(v)
+    if not model.absorb_faces:
+        return out
+    for sl, term in _face_damp_terms(model, v):
+        out = out.at[sl].add(term.astype(out.dtype))
+    return out

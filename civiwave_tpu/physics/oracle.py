@@ -235,8 +235,14 @@ def solve_newmark_step(
     tolerance: float,
     max_iterations: int,
     external_load: Optional[np.ndarray] = None,
+    damp: Optional[np.ndarray] = None,
 ) -> StepResult:
-    """Full dense Newmark step (solver.cpp:354-378)."""
+    """Full dense Newmark step (solver.cpp:354-378).
+
+    ``damp``: optional dense (3N, 3N) viscous damping matrix (the
+    Lysmer-Kuhlemeyer absorbing-boundary twin, physics/absorbing.py):
+    K_eff += a1 C and rhs += C (a1 u + a4 v + a5 a), the same algebra as
+    the Rayleigh terms (newmark.cpp:83-133)."""
     if external_load is None:
         load = loads_mod.assemble_load_vector(mesh, cfg, preprocess, time).reshape(-1)
     else:
@@ -247,6 +253,14 @@ def solve_newmark_step(
     keff = newmark.build_effective_stiffness(
         assembly.stiffness, assembly.mass_diag, rayleigh, coeffs
     )
+    if damp is not None:
+        keff = keff + coeffs.a1 * damp
+        damping_rhs = (
+            coeffs.a1 * previous_state.displacement
+            + coeffs.a4 * previous_state.velocity
+            + coeffs.a5 * previous_state.acceleration
+        )
+        rhs = rhs + damp @ damping_rhs
     apply_dirichlet(keff, rhs, dirichlet, previous_state)
     solution, stats = conjugate_gradient(keff, rhs, max_iterations, tolerance)
     # the solve yields TOTAL u_{n+1}; the kinematic update consumes the

@@ -144,7 +144,11 @@ def _load_mesh(cfg: Config, scenario_path: str, mesh_root: Optional[str]) -> Mes
         from .utils.synthetic import box_mesh
 
         nx, ny, nz, hex_elements, spacing = parse_box_spec(mesh_path)
-        return box_mesh(nx, ny, nz, hex_elements=hex_elements, spacing=spacing)
+        return box_mesh(
+            nx, ny, nz, hex_elements=hex_elements, spacing=spacing,
+            # absorbing scenarios reference the SIDE_* face groups
+            side_groups=bool(cfg.absorbing),
+        )
 
     if not os.path.isabs(mesh_path):
         base = mesh_root if mesh_root is not None else os.getcwd()

@@ -178,6 +178,19 @@ def newmark_step(
             # match the reference, which adds beta_R * (K * damping_rhs)
             # verbatim
             rhs = rhs + f32(rayleigh_beta) * damping_output
+        # Lysmer-Kuhlemeyer absorbing dashpots (extension — the reference
+        # has none): a general damping matrix C enters the implicit system
+        # as rhs += C (a1 u + a4 v + a5 a) and K_eff += a1 C, the same
+        # algebra as the Rayleigh terms above (newmark.cpp:83-133)
+        has_absorbing = bool(
+            getattr(model, "has_damping", False)
+            or getattr(model, "absorb_faces", ())
+        )
+        if has_absorbing:
+            import dataclasses
+
+            rhs = rhs + model.absorbing_force(damping_rhs)
+            model = dataclasses.replace(model, damp_factor=a1.astype(f32))
 
     # Dirichlet RHS clamp.  DELIBERATE DEVIATION from
     # newmark_stepper.cpp:1219-1243 (rhs = target - u): the effective system

@@ -31,9 +31,15 @@ _TET_CORNERS = np.array(
 
 
 def box_mesh(
-    nx: int, ny: int, nz: int, hex_elements: bool = False, spacing: float = 1.0
+    nx: int, ny: int, nz: int, hex_elements: bool = False,
+    spacing: float = 1.0, side_groups: bool = False,
 ) -> Mesh:
-    """Structured box mesh; hex8 cells or their 6-tet decomposition."""
+    """Structured box mesh; hex8 cells or their 6-tet decomposition.
+
+    ``side_groups``: also emit the six face quad groups SIDE_X0..SIDE_Z1
+    (ids 4-9) so scenarios can reference any box face — absorbing
+    boundaries in particular (physics/absorbing.py).  Off by default to
+    keep the canonical FIXED/LOAD_FACE-only surface table."""
     xs, ys, zs = nx + 1, ny + 1, nz + 1
     grid = np.stack(
         np.meshgrid(
@@ -105,24 +111,66 @@ def box_mesh(
         ],
         axis=1,
     )
-    surfaces = np.concatenate([quads0, quadsn]).astype(np.int32)
-    n_side = len(quads0)
-    mesh.surfaces = surfaces
-    mesh.surface_node_counts = np.full(len(surfaces), 4, dtype=np.int32)
-    mesh.surface_physical_group = np.concatenate(
-        [np.full(n_side, 1), np.full(n_side, 2)]
-    ).astype(np.int64)
-    mesh.surface_original_ids = np.arange(1, len(surfaces) + 1, dtype=np.int64)
-
-    mesh.physical_groups = [
+    face_lists = [quads0, quadsn]
+    face_group_ids = [1, 2]
+    groups = [
         PhysicalGroup(2, 1, "FIXED"),
         PhysicalGroup(2, 2, "LOAD_FACE"),
         PhysicalGroup(3, 3, "SOLID"),
     ]
-    mesh.group_lookup = {1: 0, 2: 1, 3: 2}
+    if side_groups:
+        def face_quads(axis: int, pos: int):
+            """Quads tiling one axis plane of the box."""
+            dims = [nx, ny, nz]
+            a1, a2 = [a for a in range(3) if a != axis]
+            u1, u2 = np.meshgrid(
+                np.arange(dims[a1]), np.arange(dims[a2]), indexing="ij"
+            )
+            u1, u2 = u1.reshape(-1), u2.reshape(-1)
+
+            def at(d1, d2):
+                ijk = [None, None, None]
+                ijk[axis] = np.full_like(u1, pos)
+                ijk[a1] = u1 + d1
+                ijk[a2] = u2 + d2
+                return nid(*ijk)
+
+            return np.stack(
+                [at(0, 0), at(1, 0), at(1, 1), at(0, 1)], axis=1
+            )
+
+        tags = [
+            ("SIDE_X0", 0, 0), ("SIDE_X1", 0, nx),
+            ("SIDE_Y0", 1, 0), ("SIDE_Y1", 1, ny),
+            ("SIDE_Z0", 2, 0), ("SIDE_Z1", 2, nz),
+        ]
+        for gid, (name, axis, pos) in enumerate(tags, start=4):
+            face_lists.append(face_quads(axis, pos))
+            face_group_ids.append(gid)
+            groups.append(PhysicalGroup(2, gid, name))
+
+    surfaces = np.concatenate(face_lists).astype(np.int32)
+    mesh.surfaces = surfaces
+    mesh.surface_node_counts = np.full(len(surfaces), 4, dtype=np.int32)
+    mesh.surface_physical_group = np.concatenate(
+        [
+            np.full(len(f), gid)
+            for f, gid in zip(face_lists, face_group_ids)
+        ]
+    ).astype(np.int64)
+    mesh.surface_original_ids = np.arange(1, len(surfaces) + 1, dtype=np.int64)
+
+    mesh.physical_groups = groups
+    mesh.group_lookup = {g.id: i for i, g in enumerate(groups)}
+    mesh.surface_groups = {}
+    start = 0
+    for f, gid in zip(face_lists, face_group_ids):
+        idx = np.arange(start, start + len(f), dtype=np.int64)
+        mesh.surface_groups.setdefault(gid, []).append(idx)
+        start += len(f)
     mesh.surface_groups = {
-        1: np.arange(n_side, dtype=np.int64),
-        2: np.arange(n_side, 2 * n_side, dtype=np.int64),
+        gid: np.concatenate(parts)
+        for gid, parts in mesh.surface_groups.items()
     }
     mesh.node_groups = {}
     return mesh
