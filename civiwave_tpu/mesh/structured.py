@@ -374,6 +374,16 @@ def build_structured_model(
         homogeneous = True
     lam0 = float(lam_grid.flat[0]) if homogeneous else 0.0
     mu0 = float(mu_grid.flat[0]) if homogeneous else 0.0
+    if absorb_planes and not homogeneous:
+        # the face-plane dashpot impedances rho*c_p / rho*c_s are derived
+        # from the single material; a heterogeneous grid needs per-face
+        # impedances the structured path does not carry — the general
+        # gather path supports arbitrary-material absorbing faces
+        raise ValueError(
+            "absorbing faces on the structured path require a homogeneous "
+            "material grid; use the general (Gmsh/packed) path for "
+            "multi-material absorbing boundaries"
+        )
 
     # pad the cell grids along X to the padded NODE extent: X-slab
     # sharding (parallel/sharding.shard_structured) then divides the
