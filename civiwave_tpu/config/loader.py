@@ -258,9 +258,10 @@ def parse_config_node(root: Any) -> Config:
         raise _err("solver.max_iters must be >= 1", ["solver", "max_iters"])
     if solver.runtime_tolerance <= 0.0 or solver.pause_tolerance <= 0.0:
         raise _err("solver tolerances must be > 0", ["solver"])
-    if solver.warm_start_policy not in ("predictor", "solution"):
+    if solver.warm_start_policy not in ("predictor", "solution", "delta"):
         raise _err(
-            "solver.warm_start_policy must be 'predictor' or 'solution'",
+            "solver.warm_start_policy must be 'predictor', 'solution' or "
+            "'delta'",
             ["solver", "warm_start_policy", solver.warm_start_policy],
         )
     if solver.variant not in ("auto", "classic", "fused"):

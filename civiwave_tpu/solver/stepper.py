@@ -207,8 +207,16 @@ def newmark_step(
     # better extrapolation (it carries velocity + acceleration forward,
     # where the previous solution lags one frame).  Measured at tol 2e-4:
     # 28.0 -> 24.9 iters/step at 4.44M DOF (+9.8% steps/s) for zero extra
-    # memory or passes (ADR-17).
-    x_seed = u_pred if warm_start_policy == "predictor" else state.warm_x
+    # memory or passes (ADR-17).  The "delta" policy goes one further:
+    # the implicit correction D = x - u_pred is smooth frame to frame, so
+    # seeding with u_pred + D_prev (state.warm_x stores D under this
+    # policy) removes the part of the residual the predictor cannot see.
+    if warm_start_policy == "delta":
+        x_seed = u_pred + state.warm_x
+    elif warm_start_policy == "predictor":
+        x_seed = u_pred
+    else:  # "solution" — reference parity
+        x_seed = state.warm_x
 
     with jax.named_scope("pcg_solve"):
         solution, pcg_telemetry = solve_pcg(
@@ -238,7 +246,8 @@ def newmark_step(
             displacement=u_pred + delta,
             velocity=v_pred + gamma_over_beta_dt * delta,
             acceleration=inv_beta_dt2 * delta,
-            warm_x=solution,
+            # "delta" policy carries the correction; others the solution
+            warm_x=delta if warm_start_policy == "delta" else solution,
         )
     return _DeviceStepOut(state=new_state, pcg=pcg_telemetry)
 

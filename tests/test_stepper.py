@@ -281,7 +281,7 @@ def test_warm_start_policy_solution_matches_predictor_trajectory():
     model, state0, force = pack.build_packed_model(mesh, pre, cfg, mats)
 
     results = {}
-    for policy in ("solution", "predictor"):
+    for policy in ("solution", "predictor", "delta"):
         step = partial(
             newmark_step,
             rayleigh_alpha=ray.alpha,
@@ -299,8 +299,13 @@ def test_warm_start_policy_solution_matches_predictor_trajectory():
 
     u_sol, _ = results["solution"]
     u_pred, _ = results["predictor"]
+    u_delta, _ = results["delta"]
     scale = np.abs(u_sol).max()
     np.testing.assert_allclose(u_pred, u_sol, atol=1.0e-5 * scale)
+    # "delta" (predictor + previous implicit correction) is trajectory-
+    # equivalent too; at 50.3M/tol 2e-4 it measured a wash vs predictor
+    # (24.5 vs 24.8 iters/step) — kept as an opt-in policy (ADR-17)
+    np.testing.assert_allclose(u_delta, u_sol, atol=1.0e-5 * scale)
 
 
 def test_solver_settings_knobs_thread_into_stepper():
