@@ -345,7 +345,7 @@ def test_solver_variant_validated():
 
 def test_solver_warm_start_policy_validated():
     _expect(
-        "solver.warm_start_policy must be 'predictor' or 'solution'",
+        "solver.warm_start_policy must be 'predictor', 'solution' or",
         solver={
             "type": "pcg",
             "preconditioner": "bj",
