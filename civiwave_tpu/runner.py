@@ -144,10 +144,16 @@ def _load_mesh(cfg: Config, scenario_path: str, mesh_root: Optional[str]) -> Mes
         from .utils.synthetic import box_mesh
 
         nx, ny, nz, hex_elements, spacing = parse_box_spec(mesh_path)
+        refs = (
+            list(cfg.absorbing)
+            + [t.group for t in cfg.loads.tractions]
+            + [f.group for f in cfg.dirichlet]
+        )
         return box_mesh(
             nx, ny, nz, hex_elements=hex_elements, spacing=spacing,
-            # absorbing scenarios reference the SIDE_* face groups
-            side_groups=bool(cfg.absorbing),
+            # emit the six SIDE_* face groups whenever the scenario
+            # references any of them (absorbing faces, side tractions...)
+            side_groups=any(g.startswith("SIDE_") for g in refs),
         )
 
     if not os.path.isabs(mesh_path):
