@@ -215,17 +215,17 @@ class StructuredModel:
         return _ops.absorbing_force_structured(self, v)
 
     def prefers_fused_pcg(self, block_inverse, vector_dtype) -> bool:
-        """'auto' variant probe: Chronopoulos-Gear + the fused pc+matvec
-        kernel beat the classic loop above ~5M nodes on v5e (ADR-22);
-        below that the extra s-recurrence costs more than the fusion
-        saves."""
+        """'auto' variant probe: with the in-kernel dot partials the
+        Chronopoulos-Gear loop beats classic at EVERY size the pc+matvec
+        kernel engages (v5e ms/iter fused/classic: 2.65M DOF 1.12/1.15,
+        50.3M 7.18/7.98 — ADR-22 addendum), so the kernel eligibility IS
+        the crossover."""
         from ..ops import structured as _ops
 
         if self.preconditioner == "multigrid" and self.mg_levels:
             return False
-        return (
-            _ops.pc_keff_kernel_eligible(self, block_inverse, vector_dtype)
-            and self.node_count >= _ops._FUSED_VARIANT_NODE_THRESHOLD
+        return _ops.pc_keff_kernel_eligible(
+            self, block_inverse, vector_dtype
         )
 
     def build_fused_pcg_iteration(self, block_inverse, stiffness_scale,
@@ -254,6 +254,20 @@ class StructuredModel:
             return u, self.apply_keff(u, stiffness_scale, mass_factor)
         return _ops.apply_pc_keff_structured(
             self, block_inverse, residual, stiffness_scale, mass_factor
+        )
+
+    def apply_pc_keff_dots(self, block_inverse, residual, stiffness_scale,
+                           mass_factor, reduction_dtype):
+        """(u, w, (gamma, delta, rr)) with the three iteration dots emitted
+        as row partials from the same kernel pass, or None when ineligible
+        (the PCG loop composes apply_pc_keff + fused_dots instead)."""
+        from ..ops import structured as _ops
+
+        if self.preconditioner == "multigrid" and self.mg_levels:
+            return None
+        return _ops.apply_pc_keff_dots_structured(
+            self, block_inverse, residual, stiffness_scale, mass_factor,
+            reduction_dtype,
         )
 
     def apply_preconditioner(self, block_inverse, residual):

@@ -896,12 +896,10 @@ def apply_pc_keff_structured(
     return u, w
 
 
-# ms/iteration of a 64-iteration fixed solve on v5e (ADR-22), fused vs
-# classic: 2.65M DOF 1.16/1.08, 10.3M 3.75/3.56 (classic wins — the extra
-# s-recurrence costs more than the pc+matvec fusion saves), 21.2M
-# 4.73/4.99, 50.3M 7.80/8.01 (fused wins).  The 'auto' variant crosses
-# over between 3.4M and 7.1M NODES.
-_FUSED_VARIANT_NODE_THRESHOLD = 5_000_000
+# ADR-22 measured the fused/classic crossover at ~5M nodes BEFORE the
+# in-kernel dot partials; with them (apply_pc_keff_dots) fused wins at
+# every size the kernel engages (2.65M DOF 1.12/1.15, 50.3M 7.18/7.98
+# ms/iter), so prefers_fused_pcg now delegates to kernel eligibility.
 
 
 def pc_keff_kernel_eligible(model: StructuredModel, pc, dtype) -> bool:
@@ -1076,3 +1074,39 @@ def absorbing_force_structured(
     for sl, term in _face_damp_terms(model, v):
         out = out.at[sl].add(term.astype(out.dtype))
     return out
+
+
+def apply_pc_keff_dots_structured(
+    model: StructuredModel, pc, residual: jax.Array, stiffness_scale,
+    mass_factor, reduction_dtype=jnp.float64,
+):
+    """(u, w, (gamma, delta, rr)) with the three Chronopoulos-Gear dot
+    products emitted AS ROW PARTIALS from the same pc+matvec kernel pass
+    (see apply_pc_keff_fused_pallas with_dots), or None when the kernel is
+    ineligible — the caller composes apply_pc_keff + fused_dots instead.
+
+    Absorbing models decline: the face dashpot term is added to w AFTER
+    the kernel, so an in-kernel (w,u) partial would miss it."""
+    import os
+
+    if (
+        model.absorb_faces
+        or os.environ.get("CIVIWAVE_KERNEL_DOTS", "1") != "1"
+        or not pc_keff_kernel_eligible(model, pc, residual.dtype)
+    ):
+        return None
+    from .pallas.structured_stencil import apply_pc_keff_fused_pallas
+
+    tables = _stencil_tables(model.spacing, model.lam0, model.mu0)
+    out = apply_pc_keff_fused_pallas(
+        model, pc.table, residual, stiffness_scale, mass_factor, tables,
+        with_dots=True,
+    )
+    if out is None:
+        return None
+    u, w, pa, pb = out
+    rdt = reduction_dtype
+    gamma = jnp.sum(pa[:, 0].astype(rdt))
+    rr = jnp.sum(pa[:, 1].astype(rdt))
+    delta = jnp.sum(pb[:, 0].astype(rdt))
+    return u, w, (gamma, delta, rr)

@@ -419,6 +419,10 @@ def solve_pcg_fused(
             ),
         )
 
+    # the structured TPU path can emit the three iteration dots as row
+    # partials from the pc+matvec kernel pass itself (None = compose)
+    dots_fn = getattr(model, "apply_pc_keff_dots", None)
+
     def body(carry: _FusedCarry) -> _FusedCarry:
         alpha32 = carry.alpha.astype(f32)
         x = carry.x + alpha32 * carry.p
@@ -426,13 +430,23 @@ def solve_pcg_fused(
         # constrained axes: p and s are zero there by recurrence (u, w are
         # bc-zeroed each iteration), so x stays = rhs and r stays = 0
         # bit-for-bit — the same proved-no-op clamp elision as classic.
-        with jax.named_scope("pcg_pc_matvec"):
-            u, w = model.apply_pc_keff(
-                block_inverse, r, stiffness_scale, mass_factor
+        fused_out = None
+        if dots_fn is not None:
+            fused_out = dots_fn(
+                block_inverse, r, stiffness_scale, mass_factor, rdt
             )
-
-        with jax.named_scope("pcg_fused_reduction"):
-            gamma_new, delta, rr = fused_dots([(r, u), (w, u), (r, r)], rdt)
+        if fused_out is not None:
+            with jax.named_scope("pcg_pc_matvec_dots"):
+                u, w, (gamma_new, delta, rr) = fused_out
+        else:
+            with jax.named_scope("pcg_pc_matvec"):
+                u, w = model.apply_pc_keff(
+                    block_inverse, r, stiffness_scale, mass_factor
+                )
+            with jax.named_scope("pcg_fused_reduction"):
+                gamma_new, delta, rr = fused_dots(
+                    [(r, u), (w, u), (r, r)], rdt
+                )
         residual_norm = jnp.sqrt(rr)
         converged = residual_norm <= tolerance
 

@@ -493,6 +493,30 @@ def test_pc_keff_fused_kernel_matches(rng):
         np.asarray(w), np.asarray(w_ref), atol=2e-5 * scale_w
     )
 
+    # with_dots: the same pass also emits the iteration's three dot
+    # products as row partials (ADR-22 addendum)
+    from civiwave_tpu.solver.pcg import fused_dots
+
+    u2, w2, pa, pb = apply_pc_keff_fused_pallas(
+        model, pc.table, r, ss, mf, tables, with_dots=True, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(u2), np.asarray(u), atol=1e-6 * scale_u
+    )
+    np.testing.assert_allclose(
+        np.asarray(w2), np.asarray(w), atol=2e-5 * scale_w
+    )
+    g_ref, d_ref, rr_ref = fused_dots([(r, u_ref), (w_ref, u_ref), (r, r)])
+    assert float(jnp.sum(pa[:, 0].astype(jnp.float64))) == pytest.approx(
+        float(g_ref), rel=1e-5
+    )
+    assert float(jnp.sum(pa[:, 1].astype(jnp.float64))) == pytest.approx(
+        float(rr_ref), rel=1e-5
+    )
+    assert float(jnp.sum(pb[:, 0].astype(jnp.float64))) == pytest.approx(
+        float(d_ref), rel=1e-5
+    )
+
     # odd plane count: kernel refuses, model entry composes (bitwise)
     model_odd, _ = build_structured_model(
         4, 3, 2, mats[0], cfg.materials[0].density,
