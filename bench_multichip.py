@@ -19,8 +19,8 @@ Projection model (all knobs env-overridable):
     t_iter(N) = (t_matvec + t_tail) * (target_dof / N) / measured_dof
                 + n_all_reduce * t_ar + n_permute * t_cp
     steps/s   = 1 / (t_iter * iters_per_step + t_frame_envelope(N))
-Defaults use the round-3 v5e measurements (4.48 ms matvec + 3.32 ms PCG
-tail per iteration at 50.3M DOF with the fused variant + pc+matvec
+Defaults use the round-3 v5e measurements (4.48 ms matvec + 2.70 ms PCG
+tail per iteration at 50.3M DOF with the fused variant + pc+matvec+dots
 kernel, 24.8 iters/step at tol 2e-4)
 scaled by CIVIWAVE_MC_CHIP_SPEEDUP for the target chip (v5p HBM bandwidth
 is ~3.4x v5e's; both kernels are bandwidth/VPU-bound) and 15/5 us per
@@ -31,7 +31,7 @@ Env knobs:
     CIVIWAVE_MC_SHARDS=1,2,4,8     shard counts to compile
     CIVIWAVE_MC_TARGET_DOF=10.06e6 projection workload
     CIVIWAVE_MC_MEASURED_DOF=50.33e6, CIVIWAVE_MC_T_MATVEC_MS=4.48,
-    CIVIWAVE_MC_T_TAIL_MS=3.32, CIVIWAVE_MC_ITERS=24.8,
+    CIVIWAVE_MC_T_TAIL_MS=2.70, CIVIWAVE_MC_ITERS=24.8,
     CIVIWAVE_MC_CHIP_SPEEDUP=3.4 (v5p/v5e), CIVIWAVE_MC_AR_US=15,
     CIVIWAVE_MC_CP_US=5
 """
@@ -95,7 +95,7 @@ def main() -> None:
     target_dof = _env_f("CIVIWAVE_MC_TARGET_DOF", 10.06e6)
     measured_dof = _env_f("CIVIWAVE_MC_MEASURED_DOF", 50.33e6)
     t_matvec = _env_f("CIVIWAVE_MC_T_MATVEC_MS", 4.48) * 1e-3
-    t_tail = _env_f("CIVIWAVE_MC_T_TAIL_MS", 3.32) * 1e-3
+    t_tail = _env_f("CIVIWAVE_MC_T_TAIL_MS", 2.70) * 1e-3
     iters = _env_f("CIVIWAVE_MC_ITERS", 24.8)
     speedup = _env_f("CIVIWAVE_MC_CHIP_SPEEDUP", 3.4)
     t_ar = _env_f("CIVIWAVE_MC_AR_US", 15.0) * 1e-6
