@@ -113,7 +113,7 @@ def main() -> None:
         pc = jax.jit(lambda m, a, b: m.build_preconditioner(a, b))(
             s_model, ss, mf
         )
-        for variant in ("classic", "fused"):
+        for variant in ("classic", "fused", "pipelined"):
             step = jax.jit(
                 partial(
                     newmark_step,
@@ -134,8 +134,19 @@ def main() -> None:
 
             # projection at the north-star workload
             per_chip = target_dof / n_shards / measured_dof
-            t_iter = (t_matvec + t_tail) * per_chip / speedup
-            t_iter += n_ar * t_ar + n_cp * t_cp
+            tail = t_tail
+            if variant == "pipelined":
+                # Ghysels-Vanroose: 8 axpys over 10 vectors instead of the
+                # fused loop's 4 over 6 (~1.7x the vector tail, measured
+                # single-chip below when hardware allows), but the one
+                # all-reduce OVERLAPS with the pc+matvec pass — only the
+                # part of its latency exceeding the compute remains
+                tail = t_tail * 1.7
+            t_compute = (t_matvec + tail) * per_chip / speedup
+            if variant == "pipelined":
+                t_iter = max(t_compute, n_ar * t_ar) + n_cp * t_cp
+            else:
+                t_iter = t_compute + n_ar * t_ar + n_cp * t_cp
             t_step = t_iter * iters + t_envelope * per_chip / speedup
             projected = 1.0 / t_step
 

@@ -264,9 +264,10 @@ def parse_config_node(root: Any) -> Config:
             "'delta'",
             ["solver", "warm_start_policy", solver.warm_start_policy],
         )
-    if solver.variant not in ("auto", "classic", "fused"):
+    if solver.variant not in ("auto", "classic", "fused", "pipelined"):
         raise _err(
-            "solver.variant must be 'auto', 'classic' or 'fused'",
+            "solver.variant must be 'auto', 'classic', 'fused' or "
+            "'pipelined'",
             ["solver", "variant", solver.variant],
         )
 

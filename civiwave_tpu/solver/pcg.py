@@ -150,11 +150,14 @@ def solve_pcg(
 
     ``variant``: 'classic' is the reference's 3-dot loop (pcg.cpp:830-915);
     'fused' is the Chronopoulos-Gear single-reduction recurrence (one
-    all-reduce per iteration — see :func:`solve_pcg_fused`); 'auto' (the
-    default) picks 'fused' when the model can run the whole-iteration
-    Pallas kernel (large structured TPU grids — see
-    :func:`_solve_pcg_megafused`) or when it is GSPMD-sharded (one
-    all-reduce per iteration instead of 2-3), and 'classic' otherwise.
+    all-reduce per iteration — see :func:`solve_pcg_fused`); 'pipelined'
+    is the Ghysels-Vanroose recurrence whose single reduction additionally
+    OVERLAPS with the preconditioner+matvec (see
+    :func:`solve_pcg_pipelined`); 'auto' (the default) picks 'fused' when
+    the model can run the whole-iteration Pallas kernel (large structured
+    TPU grids — see :func:`_solve_pcg_megafused`) or when it is
+    GSPMD-sharded (one all-reduce per iteration instead of 2-3), and
+    'classic' otherwise.
     """
     block_inverse = (
         model.build_preconditioner(stiffness_scale, mass_factor)
@@ -173,6 +176,13 @@ def solve_pcg(
         variant = "fused" if (kernel_pref or sharded) else "classic"
     if variant == "fused":
         return solve_pcg_fused(
+            model, rhs, stiffness_scale, mass_factor, relative_tolerance,
+            max_iterations, x0, warm_start=warm_start,
+            reduction_dtype=reduction_dtype, vector_dtype=vector_dtype,
+            preconditioner=block_inverse,
+        )
+    if variant == "pipelined":
+        return solve_pcg_pipelined(
             model, rhs, stiffness_scale, mass_factor, relative_tolerance,
             max_iterations, x0, warm_start=warm_start,
             reduction_dtype=reduction_dtype, vector_dtype=vector_dtype,
@@ -498,6 +508,253 @@ def solve_pcg_fused(
         iteration=jnp.asarray(0, jnp.int32),
         converged=converged0,
         breakdown=breakdown0,
+    )
+    final = jax.lax.while_loop(cond, body, init)
+
+    telemetry = PcgTelemetry(
+        iterations=final.iteration,
+        residual_norm=final.residual_norm,
+        rhs_norm=rhs_norm_true,
+        alpha_last=final.alpha_last,
+        beta_last=final.beta_last,
+        converged=final.converged,
+        breakdown=final.breakdown,
+    )
+    return final.x, telemetry
+
+
+class _PipelinedCarry(NamedTuple):
+    x: jax.Array
+    r: jax.Array
+    u: jax.Array  # M^-1 r (recurred)
+    w: jax.Array  # K_eff u (recurred)
+    p: jax.Array  # direction
+    s: jax.Array  # K_eff p (recurred)
+    q: jax.Array  # M^-1 s (recurred)
+    z: jax.Array  # K_eff q (recurred)
+    gamma: jax.Array  # (r, u) of the previous iterate
+    alpha: jax.Array  # previous step length
+    residual_norm: jax.Array
+    alpha_last: jax.Array
+    beta_last: jax.Array
+    iteration: jax.Array
+    converged: jax.Array
+    breakdown: jax.Array
+
+
+def solve_pcg_pipelined(
+    model: PackedModel,
+    rhs: jax.Array,
+    stiffness_scale,
+    mass_factor,
+    relative_tolerance,
+    max_iterations,
+    x0: jax.Array,
+    warm_start: bool = True,
+    reduction_dtype=jnp.float64,
+    vector_dtype=jnp.float32,
+    preconditioner=None,
+    replace_every: int = 10,
+):
+    """Ghysels-Vanroose pipelined PCG: the one reduction per iteration
+    OVERLAPS with the preconditioner apply + matvec.
+
+    The fused (Chronopoulos-Gear) loop already collapses the three dots
+    into one all-reduce per iteration, but that all-reduce sits on the
+    critical path between iterations: the (gamma, delta) it produces feed
+    the very next axpys.  In the north-star regime (README projection —
+    ~105k nodes/chip on v5p-32) the ~15 us ICI all-reduce latency is the
+    DOMINANT per-iteration term, larger than the per-shard compute.  The
+    Ghysels-Vanroose reformulation (Ghysels & Vanroose, Parallel
+    Computing 40, 2014 — the standard latency-hiding CG) moves the heavy
+    work (m = M^-1 w, n = K_eff m) BETWEEN the dot-partial computation and
+    the first use of the reduced scalars, so XLA's latency-hiding
+    scheduler can run the async all-reduce concurrently with the
+    pc+matvec pass:
+
+        gamma' = (r,u); delta = (w,u); rr = (r,r)   <- ONE all-reduce,
+        m = M^-1 w ; n = K_eff m                       overlapped with this
+        beta  = gamma'/gamma ; alpha = gamma'/(delta - beta gamma'/alpha)
+        z = n + beta z ; q = m + beta q ; p = u + beta p ; s = w + beta s
+        x += alpha p ; r -= alpha s ; u -= alpha q ; w -= alpha z
+
+    Identical iterates to classic/fused CG in exact arithmetic.  Costs vs
+    fused: two extra recurrence vectors (q, z) and 8 axpys instead of 4 —
+    ~2x the vector tail — plus one trailing pc+matvec pass per solve (the
+    convergence check sees the residual one iteration late).  On a single
+    chip this LOSES; it exists for the multi-chip latency wall, selected
+    via ``solver: variant: pipelined`` in the scenario YAML.
+
+    Dirichlet semantics: r is clamped to 0 on constrained axes before the
+    loop; the preconditioner's and operator's identity rows then keep
+    every recurrence vector (u, w, m, n and all four directions) exactly
+    zero there by induction, so x stays = rhs bit-for-bit — the same
+    proved-no-op clamp elision as the other variants.
+
+    Numerics: unlike classic/fused CG — which recompute M^-1 r (and A p)
+    fresh from the recurred residual every iteration, so rounding errors
+    stay RELATIVE to the shrinking iterate scale — the pipelined u/w
+    recurrences accumulate an ABSOLUTE f32 error floor set by the largest
+    early iterates.  At the 2e-4 runtime tolerance this never matters
+    (trajectory parity with classic, measured); at tighter tolerances the
+    loop would stall, so every ``replace_every`` iterations the recurred
+    (u, w) are recomputed from the recurred r with one extra pc+matvec
+    pass — the Ghysels-Vanroose residual-replacement strategy (their
+    section 4).  Measured on the kappa~1e12 test bar (f32): no
+    replacement stalls at ~5e-5 relative; replace_every=10 converges to
+    1e-7 in 34 iterations (classic: 12 — the extra iterations rebuild the
+    Krylov information the drift destroyed).  ``replace_every=0`` disables
+    replacement (the production-tolerance fast path).
+    """
+    f32 = vector_dtype
+    rdt = reduction_dtype
+
+    block_inverse = (
+        model.build_preconditioner(stiffness_scale, mass_factor)
+        if preconditioner is None
+        else preconditioner
+    )
+
+    x = x0 if warm_start else jnp.zeros_like(x0)
+
+    ax = model.apply_keff(x, stiffness_scale, mass_factor)
+    r = (rhs - ax).astype(f32)
+    x, r = _clamp_dirichlet(model, rhs, x, r)
+
+    with jax.named_scope("pcg_pc_matvec"):
+        u, w = model.apply_pc_keff(
+            block_inverse, r, stiffness_scale, mass_factor
+        )
+    u = jnp.where(model.bc_mask, 0.0, u).astype(f32)
+    w = jnp.where(model.bc_mask, 0.0, w).astype(f32)
+
+    rhs_norm_true = jnp.sqrt(dot_f64(rhs, rhs, rdt))
+    rhs_norm = jnp.where(rhs_norm_true < _RHS_NORM_FLOOR, 1.0, rhs_norm_true)
+    tolerance = relative_tolerance * rhs_norm
+
+    max_iters = jnp.asarray(max_iterations, dtype=jnp.int32)
+    zeros = jnp.zeros_like(r)
+
+    def cond(c: _PipelinedCarry):
+        return jnp.logical_and(
+            c.iteration < max_iters,
+            jnp.logical_and(
+                jnp.logical_not(c.converged), jnp.logical_not(c.breakdown)
+            ),
+        )
+
+    def body(c: _PipelinedCarry) -> _PipelinedCarry:
+        # dot partials FIRST: the (3,) reduction result is not consumed
+        # until after the pc+matvec below, so under GSPMD the all-reduce
+        # runs concurrently with it (async start here, done at 'beta')
+        with jax.named_scope("pcg_pipelined_reduction"):
+            gamma_new, delta, rr = fused_dots(
+                [(c.r, c.u), (c.w, c.u), (c.r, c.r)], rdt
+            )
+        with jax.named_scope("pcg_pc_matvec"):
+            m, w_of_m = model.apply_pc_keff(
+                block_inverse, c.w, stiffness_scale, mass_factor
+            )
+        n = w_of_m.astype(f32)
+        m = m.astype(f32)
+
+        residual_norm = jnp.sqrt(rr)
+        converged = residual_norm <= tolerance
+
+        first = c.iteration == 0
+        gamma_breakdown = jnp.logical_and(
+            jnp.logical_not(first), jnp.abs(c.gamma) < _BREAKDOWN_TOL
+        )
+        beta = jnp.where(
+            first,
+            jnp.asarray(0.0, rdt),
+            gamma_new / jnp.where(gamma_breakdown, 1.0, c.gamma),
+        )
+        alpha_denom = delta - beta * gamma_new / jnp.where(
+            jnp.abs(c.alpha) < _BREAKDOWN_TOL, 1.0, c.alpha
+        )
+        denom_breakdown = jnp.abs(alpha_denom) < _BREAKDOWN_TOL
+        alpha = gamma_new / jnp.where(denom_breakdown, 1.0, alpha_denom)
+
+        breakdown = jnp.logical_and(
+            jnp.logical_not(converged),
+            jnp.logical_or(gamma_breakdown, denom_breakdown),
+        )
+        stop = jnp.logical_or(converged, breakdown)
+
+        beta32 = beta.astype(f32)
+        alpha32 = alpha.astype(f32)
+        z = n + beta32 * c.z
+        q = m + beta32 * c.q
+        p = c.u + beta32 * c.p
+        s = c.w + beta32 * c.s
+        x = c.x + alpha32 * p
+        r = c.r - alpha32 * s
+        u = c.u - alpha32 * q
+        w = c.w - alpha32 * z
+
+        if replace_every:
+            # periodic residual replacement (see docstring): recompute the
+            # recurred (u, w) from the recurred r.  The predicate is
+            # derived from the replicated iteration counter, so under
+            # GSPMD every device takes the same branch and the branch's
+            # halo collectives stay uniform.
+            want = jnp.logical_and(
+                jnp.logical_not(stop),
+                (c.iteration + 1) % jnp.asarray(replace_every, jnp.int32)
+                == 0,
+            )
+
+            def _replace(r_new):
+                with jax.named_scope("pcg_residual_replacement"):
+                    u2, w2 = model.apply_pc_keff(
+                        block_inverse, r_new, stiffness_scale, mass_factor
+                    )
+                return (
+                    jnp.where(model.bc_mask, 0.0, u2).astype(f32),
+                    jnp.where(model.bc_mask, 0.0, w2).astype(f32),
+                )
+
+            u, w = jax.lax.cond(
+                want, _replace, lambda _rn: (u, w), r
+            )
+
+        return _PipelinedCarry(
+            x=jnp.where(stop, c.x, x),
+            r=jnp.where(stop, c.r, r),
+            u=jnp.where(stop, c.u, u),
+            w=jnp.where(stop, c.w, w),
+            p=jnp.where(stop, c.p, p),
+            s=jnp.where(stop, c.s, s),
+            q=jnp.where(stop, c.q, q),
+            z=jnp.where(stop, c.z, z),
+            gamma=jnp.where(stop, c.gamma, gamma_new),
+            alpha=jnp.where(stop, c.alpha, alpha),
+            residual_norm=residual_norm,
+            alpha_last=jnp.where(stop, c.alpha_last, alpha),
+            beta_last=jnp.where(stop, c.beta_last, beta),
+            iteration=c.iteration + jnp.where(stop, 0, 1),
+            converged=converged,
+            breakdown=breakdown,
+        )
+
+    init = _PipelinedCarry(
+        x=x,
+        r=r,
+        u=u,
+        w=w,
+        p=zeros,
+        s=zeros,
+        q=zeros,
+        z=zeros,
+        gamma=jnp.asarray(1.0, rdt),
+        alpha=jnp.asarray(1.0, rdt),
+        residual_norm=jnp.asarray(jnp.inf, rdt),
+        alpha_last=jnp.asarray(0.0, rdt),
+        beta_last=jnp.asarray(0.0, rdt),
+        iteration=jnp.asarray(0, jnp.int32),
+        converged=jnp.asarray(False),
+        breakdown=jnp.asarray(False),
     )
     final = jax.lax.while_loop(cond, body, init)
 

@@ -329,16 +329,32 @@ def test_solver_variant_fused_parses():
     assert cfg.solver.warm_start_policy == "solution"
 
 
+def test_solver_variant_pipelined_parses():
+    cfg = parse_config_node(
+        make_config_dict(
+            solver={
+                "type": "pcg",
+                "preconditioner": "bj",
+                "tol_runtime": 1e-4,
+                "tol_pause": 1e-5,
+                "max_iters": 10,
+                "variant": "pipelined",
+            }
+        )
+    )
+    assert cfg.solver.variant == "pipelined"
+
+
 def test_solver_variant_validated():
     _expect(
-        "solver.variant must be 'auto', 'classic' or 'fused'",
+        "solver.variant must be 'auto', 'classic', 'fused' or 'pipelined'",
         solver={
             "type": "pcg",
             "preconditioner": "bj",
             "tol_runtime": 1e-4,
             "tol_pause": 1e-5,
             "max_iters": 10,
-            "variant": "pipelined",
+            "variant": "gmres",
         },
     )
 

@@ -365,6 +365,116 @@ def test_fused_variant_zero_rhs_converges_immediately():
     np.testing.assert_array_equal(np.asarray(solution), 0.0)
 
 
+# ---------------------------------------------------------------------------
+# pipelined (Ghysels-Vanroose latency-hiding) variant
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mesh_kind", ["bar_tet", "bar_hex"])
+def test_pipelined_variant_matches_classic(mesh_kind):
+    """solver.variant='pipelined' reproduces the classic trajectory at the
+    production runtime tolerance (2e-4, docs/spec.md:28) with tight
+    iteration parity.  At the 1e-5 pause tolerance the pipelined
+    recurrences hit their f32 absolute-error floor on this kappa~1e12 bar
+    and the periodic residual replacement rebuilds the Krylov information
+    — more iterations, same solution (see solve_pcg_pipelined docstring)."""
+    hex_elements = mesh_kind == "bar_hex"
+    mesh = bar_mesh(3, 1, 1, hex_elements=hex_elements)
+    cfg = bar_config()
+    _, _, ray, coeffs, model, _, force, _, _ = _setup(mesh, cfg)
+    rhs = jnp.where(model.bc_mask, model.bc_value, force)
+    scale, mf = np.float32(1.0), np.float32(coeffs.a0)
+    x0 = jnp.zeros_like(rhs)
+
+    # production runtime tolerance: tight trajectory parity
+    sol_c, tel_c = solve_pcg(
+        model, rhs, scale, mf, 2e-4, 2000, x0, warm_start=False
+    )
+    sol_p, tel_p = solve_pcg(
+        model, rhs, scale, mf, 2e-4, 2000, x0, warm_start=False,
+        variant="pipelined",
+    )
+    assert bool(tel_c.converged) and bool(tel_p.converged)
+    assert not bool(tel_p.breakdown)
+    assert abs(int(tel_p.iterations) - int(tel_c.iterations)) <= max(
+        3, int(0.2 * int(tel_c.iterations))
+    )
+    ref = np.abs(np.asarray(sol_c)).max() + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(sol_p), np.asarray(sol_c), atol=2e-3 * ref
+    )
+
+    # pause tolerance: replacement territory — same solution, bounded
+    # extra iterations
+    sol_c5, tel_c5 = solve_pcg(
+        model, rhs, scale, mf, 1e-5, 2000, x0, warm_start=False
+    )
+    sol_p5, tel_p5 = solve_pcg(
+        model, rhs, scale, mf, 1e-5, 2000, x0, warm_start=False,
+        variant="pipelined",
+    )
+    assert bool(tel_c5.converged) and bool(tel_p5.converged)
+    assert int(tel_p5.iterations) <= 3 * int(tel_c5.iterations) + 3
+    ref5 = np.abs(np.asarray(sol_c5)).max() + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(sol_p5), np.asarray(sol_c5), atol=1e-4 * ref5
+    )
+
+
+def test_pipelined_variant_matches_dense_oracle():
+    """Pipelined variant vs the dense oracle at the pcg_test.cpp:358
+    tolerance — the same parity bar the classic loop has to clear."""
+    mesh = bar_mesh(3, 1, 1, hex_elements=True)
+    cfg = bar_config()
+    pre, mats, ray, coeffs, model, state, force, assembly, dirichlet = _setup(mesh, cfg)
+    prev = newmark.State.zeros(mesh.dof_count)
+    load = np.asarray(jax.device_get(force))[: mesh.node_count].reshape(-1)
+    rhs_flat = newmark.build_effective_rhs(
+        load.astype(np.float64), assembly.stiffness, assembly.mass_diag,
+        ray, coeffs, prev,
+    )
+    rhs_flat = np.where(
+        dirichlet.mask, dirichlet.targets - prev.displacement, rhs_flat
+    )
+    rhs_norm = np.linalg.norm(rhs_flat)
+    dense = oracle.solve_newmark_step(
+        assembly, ray, dirichlet, mesh, cfg, pre, coeffs, prev, 0.0,
+        1.0e-8 * rhs_norm, 2000,
+    )
+    assert dense.stats.converged
+
+    rhs = np.zeros((model.padded_node_count, 3), np.float32)
+    rhs[: mesh.node_count] = rhs_flat.reshape(-1, 3).astype(np.float32)
+    scale = np.float32(1.0 + coeffs.a1 * ray.beta)
+    mass_factor = np.float32(coeffs.a0 + coeffs.a1 * ray.alpha)
+    x0 = jnp.zeros((model.padded_node_count, 3), jnp.float32)
+    solution, telemetry = jax.jit(
+        solve_pcg, static_argnames=("warm_start", "variant")
+    )(
+        model, jnp.asarray(rhs), scale, mass_factor, 1.0e-7, 2000, x0,
+        warm_start=False, variant="pipelined",
+    )
+    assert bool(telemetry.converged)
+    got = np.asarray(solution)[: mesh.node_count].reshape(-1)
+    dense_delta = dense.state.displacement - prev.displacement
+    scale_ref = np.abs(dense_delta).max() + 1e-30
+    np.testing.assert_allclose(got, dense_delta, atol=2.5e-4 * scale_ref)
+
+
+def test_pipelined_variant_zero_rhs_converges_immediately():
+    mesh, cfg = single_tet_mesh(), tet_config()
+    _, _, ray, coeffs, model, _, _, _, _ = _setup(mesh, cfg)
+    rhs = jnp.zeros((model.padded_node_count, 3), jnp.float32)
+    x0 = jnp.zeros_like(rhs)
+    solution, telemetry = solve_pcg(
+        model, rhs, 1.0, 1.0, 1.0e-6, 100, x0, warm_start=False,
+        variant="pipelined",
+    )
+    assert int(telemetry.iterations) == 0
+    assert bool(telemetry.converged)
+    np.testing.assert_array_equal(np.asarray(solution), 0.0)
+
+
 def test_fused_dots_match_separate_dots(rng):
     from civiwave_tpu.solver.pcg import dot_f64, fused_dots
 

@@ -304,6 +304,72 @@ def test_pcg_iteration_collective_counts(eight_device_mesh):
     assert classic_cp == fused_cp == 2
 
 
+def test_pipelined_collective_counts_and_overlap_structure(eight_device_mesh):
+    """The pipelined (Ghysels-Vanroose) variant keeps the fused variant's
+    collective budget — ONE (3,) f64 all-reduce + the 2 halo permutes per
+    iteration — while restructuring the body so the all-reduce's result is
+    first consumed AFTER the preconditioner+matvec pass, giving XLA's
+    latency-hiding scheduler the window to overlap them (the overlap
+    itself is a TPU scheduler behavior; what the HLO proves portably is
+    the count and the single fused reduction)."""
+    pipelined = pcg_body_collectives(
+        _compile_structured_step_hlo(eight_device_mesh, "pipelined")
+    )
+    ar = sum(n for (op, _), n in pipelined.items() if op == "all-reduce")
+    cp = sum(
+        n for (op, _), n in pipelined.items() if op == "collective-permute"
+    )
+    assert ar == 1, f"pipelined variant should have 1 all-reduce: {pipelined}"
+    assert cp == 2, f"expected 2 halo permutes: {pipelined}"
+    assert any(
+        op == "all-reduce" and "f64[3]" in shape for (op, shape) in pipelined
+    ), f"expected f64[3] all-reduce: {pipelined}"
+
+
+def test_pipelined_variant_sharded_matches_classic_single_device(
+    eight_device_mesh,
+):
+    """Pipelined variant + 8-way X-slab sharding vs classic single-device:
+    same trajectory over 3 Newmark steps."""
+    from civiwave_tpu.parallel.sharding import shard_structured
+
+    model, force, ray = _structured_fixture((15, 8, 8), 8)
+    state = model.zero_state()
+
+    def make_step(variant):
+        return jax.jit(
+            partial(
+                newmark_step,
+                rayleigh_alpha=ray.alpha,
+                rayleigh_beta=ray.beta,
+                solver_variant=variant,
+            )
+        )
+
+    classic_step = make_step("classic")
+    pipelined_step = make_step("pipelined")
+
+    s_model, s_state, s_force = shard_structured(
+        model, state, force, eight_device_mesh
+    )
+    ref_state = state
+    for _ in range(3):
+        out_ref = classic_step(model, ref_state, force, 1e-3, 2e-4, 120)
+        ref_state = out_ref.state
+        out_sharded = pipelined_step(s_model, s_state, s_force, 1e-3, 2e-4, 120)
+        s_state = out_sharded.state
+        assert bool(out_sharded.pcg.converged)
+        assert abs(
+            int(out_sharded.pcg.iterations) - int(out_ref.pcg.iterations)
+        ) <= max(3, int(0.2 * int(out_ref.pcg.iterations)))
+        got = np.asarray(
+            jax.device_get(out_sharded.state.displacement)
+        )
+        ref = np.asarray(jax.device_get(ref_state.displacement))
+        scale_ref = np.abs(ref).max() + 1e-30
+        np.testing.assert_allclose(got, ref, atol=2e-4 * scale_ref)
+
+
 def test_fused_variant_sharded_matches_classic_single_device(eight_device_mesh):
     """Trajectory parity across BOTH axes at once: fused variant + 8-way
     X-slab sharding vs classic single-device, 3 Newmark steps."""
