@@ -89,6 +89,12 @@ def _bench_matvec(model, dof, label, inner=32):
 
 
 def main() -> None:
+    from civiwave_tpu.utils.compile_cache import enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+    if cache_dir:
+        log(f"persistent compile cache: {cache_dir}")
+
     from civiwave_tpu.mesh import pack, preprocess
     from civiwave_tpu.mesh.structured import build_structured_model
     from civiwave_tpu.physics import materials

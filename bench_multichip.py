@@ -56,6 +56,10 @@ def _env_f(name: str, default: float) -> float:
 def main() -> None:
     import jax
 
+    from civiwave_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     n_visible = len(jax.devices())
     backend = jax.default_backend()
     shard_counts = [
@@ -138,14 +142,21 @@ def main() -> None:
             if variant == "pipelined":
                 # Ghysels-Vanroose: 8 axpys over 10 vectors instead of the
                 # fused loop's 4 over 6 (~1.7x the vector tail, measured
-                # single-chip below when hardware allows), but the one
-                # all-reduce OVERLAPS with the pc+matvec pass — only the
-                # part of its latency exceeding the compute remains
+                # single-chip below when hardware allows).  The one
+                # all-reduce overlaps ONLY with the pc+matvec window — the
+                # 8 axpys consume the alpha/beta that all-reduce produces,
+                # so the tail cannot hide it.  Model: the all-reduce hides
+                # behind the matvec window, the tail is additive.
                 tail = t_tail * 1.7
-            t_compute = (t_matvec + tail) * per_chip / speedup
-            if variant == "pipelined":
-                t_iter = max(t_compute, n_ar * t_ar) + n_cp * t_cp
+                t_mv_shard = t_matvec * per_chip / speedup
+                t_tail_shard = tail * per_chip / speedup
+                t_iter = (
+                    max(t_mv_shard, n_ar * t_ar)
+                    + t_tail_shard
+                    + n_cp * t_cp
+                )
             else:
+                t_compute = (t_matvec + tail) * per_chip / speedup
                 t_iter = t_compute + n_ar * t_ar + n_cp * t_cp
             t_step = t_iter * iters + t_envelope * per_chip / speedup
             projected = 1.0 / t_step

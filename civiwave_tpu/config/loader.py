@@ -253,6 +253,10 @@ def parse_config_node(root: Any) -> Config:
         variant=_as_str(
             solver_node.get("variant", "auto"), ["solver", "variant"]
         ),
+        replace_every=_as_uint(
+            solver_node.get("replace_every", 10),
+            ["solver", "replace_every"],
+        ),
     )
     if solver.max_iterations == 0:
         raise _err("solver.max_iters must be >= 1", ["solver", "max_iters"])

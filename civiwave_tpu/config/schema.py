@@ -65,10 +65,19 @@ class SolverSettings:
     # the Newmark predictor) or 'solution' (reference parity: previous
     # solve's solution, newmark_stepper.cpp:1120-1133)
     warm_start_policy: str = "predictor"
-    # PCG reduction layout: 'classic' (3 dependent dots/iteration,
-    # pcg.cpp:830-915) or 'fused' (Chronopoulos-Gear single fused
-    # reduction/iteration — one all-reduce on multi-chip meshes)
-    variant: str = "classic"
+    # PCG reduction layout: 'auto' (default — dispatch picks per model),
+    # 'classic' (3 dependent dots/iteration, pcg.cpp:830-915), 'fused'
+    # (Chronopoulos-Gear single fused reduction/iteration — one all-reduce
+    # on multi-chip meshes) or 'pipelined' (Ghysels-Vanroose).  Default
+    # matches the YAML loader (loader.py) so direct-construction users get
+    # the same solver as YAML users.
+    variant: str = "auto"
+    # pipelined-variant residual-replacement period (ADR-25): every
+    # `replace_every` iterations the recurred (u, w) are recomputed from
+    # the recurred residual with one extra pc+matvec pass.  0 disables —
+    # safe at production tolerances (2e-4), where the f32 drift floor
+    # (~5e-5 relative) never surfaces.  Ignored by the other variants.
+    replace_every: int = 10
 
 
 @dataclass(frozen=True)

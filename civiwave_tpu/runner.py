@@ -299,6 +299,13 @@ def main(argv: Optional[List[str]] = None) -> int:
 
 
 def _run_cli(args) -> int:
+    # persistent XLA compile cache: the analogue of the reference loading
+    # precompiled .spv kernels by name (newmark_stepper.cpp:704-705) —
+    # cold processes reuse prior executables instead of recompiling
+    from .utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     sim = build_simulation(args.scenario, output_root=args.output)
 
     manager = None

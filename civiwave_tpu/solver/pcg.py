@@ -133,6 +133,7 @@ def solve_pcg(
     vector_dtype=jnp.float32,
     preconditioner=None,
     variant: str = "classic",
+    replace_every: int = 10,
 ):
     """PCG solve; returns (solution (N*, 3) vectors, PcgTelemetry).
 
@@ -158,6 +159,11 @@ def solve_pcg(
     TPU grids — see :func:`_solve_pcg_megafused`) or when it is
     GSPMD-sharded (one all-reduce per iteration instead of 2-3), and
     'classic' otherwise.
+
+    ``replace_every``: pipelined-variant residual-replacement period
+    (the YAML ``solver.replace_every`` knob); 0 disables replacement.
+    Ignored by the other variants, which recompute M^-1 r fresh each
+    iteration and need no replacement.
     """
     block_inverse = (
         model.build_preconditioner(stiffness_scale, mass_factor)
@@ -186,7 +192,7 @@ def solve_pcg(
             model, rhs, stiffness_scale, mass_factor, relative_tolerance,
             max_iterations, x0, warm_start=warm_start,
             reduction_dtype=reduction_dtype, vector_dtype=vector_dtype,
-            preconditioner=block_inverse,
+            preconditioner=block_inverse, replace_every=replace_every,
         )
     f32 = vector_dtype
     rdt = reduction_dtype
@@ -603,8 +609,13 @@ def solve_pcg_pipelined(
     section 4).  Measured on the kappa~1e12 test bar (f32): no
     replacement stalls at ~5e-5 relative; replace_every=10 converges to
     1e-7 in 34 iterations (classic: 12 — the extra iterations rebuild the
-    Krylov information the drift destroyed).  ``replace_every=0`` disables
-    replacement (the production-tolerance fast path).
+    Krylov information the drift destroyed).  The trigger is purely
+    ``(iteration+1) % replace_every == 0`` — it fires regardless of
+    tolerance, so a ~25-iteration production solve at 2e-4 pays 2 extra
+    pc+matvec passes.  ``replace_every=0`` disables replacement entirely
+    (safe at production tolerances, where the f32 drift floor sits far
+    below 2e-4); it is plumbed through :func:`solve_pcg` and the YAML
+    ``solver.replace_every`` knob.
     """
     f32 = vector_dtype
     rdt = reduction_dtype
@@ -631,6 +642,13 @@ def solve_pcg_pipelined(
     rhs_norm_true = jnp.sqrt(dot_f64(rhs, rhs, rdt))
     rhs_norm = jnp.where(rhs_norm_true < _RHS_NORM_FLOOR, 1.0, rhs_norm_true)
     tolerance = relative_tolerance * rhs_norm
+
+    # pre-loop convergence check (matches classic/fused): an already-
+    # converged x0 (or max_iterations=0) must report converged=True with
+    # the true initial residual, not inf, and skip the loop body's
+    # pc+matvec entirely.
+    residual_norm0 = jnp.sqrt(dot_f64(r, r, rdt))
+    converged0 = residual_norm0 <= tolerance
 
     max_iters = jnp.asarray(max_iterations, dtype=jnp.int32)
     zeros = jnp.zeros_like(r)
@@ -749,11 +767,11 @@ def solve_pcg_pipelined(
         z=zeros,
         gamma=jnp.asarray(1.0, rdt),
         alpha=jnp.asarray(1.0, rdt),
-        residual_norm=jnp.asarray(jnp.inf, rdt),
+        residual_norm=residual_norm0.astype(rdt),
         alpha_last=jnp.asarray(0.0, rdt),
         beta_last=jnp.asarray(0.0, rdt),
         iteration=jnp.asarray(0, jnp.int32),
-        converged=jnp.asarray(False),
+        converged=converged0,
         breakdown=jnp.asarray(False),
     )
     final = jax.lax.while_loop(cond, body, init)

@@ -112,6 +112,7 @@ def newmark_step(
     warm_start: bool = True,
     warm_start_policy: str = "predictor",
     solver_variant: str = "auto",
+    solver_replace_every: int = 10,
     reduction_precision: str = "fp64",
     vector_precision: str = "fp32",
     preconditioner=None,
@@ -234,6 +235,7 @@ def newmark_step(
             vector_dtype=f32,
             preconditioner=preconditioner,
             variant=solver_variant,
+            replace_every=solver_replace_every,
         )
 
     # state update (newmark_stepper.cpp:1288-1314) with delta = x - u_pred,
@@ -305,6 +307,11 @@ class NewmarkStepper:
             if solver_variant is not None
             else getattr(solver_settings, "variant", "auto")
         )
+        # pipelined-variant residual-replacement period (YAML
+        # solver.replace_every; 0 disables — see solve_pcg_pipelined)
+        self.solver_replace_every = getattr(
+            solver_settings, "replace_every", 10
+        )
 
         self._step_fn = jax.jit(
             partial(
@@ -316,6 +323,7 @@ class NewmarkStepper:
                 warm_start=warm_start,
                 warm_start_policy=self.warm_start_policy,
                 solver_variant=self.solver_variant,
+                solver_replace_every=self.solver_replace_every,
                 reduction_precision=reduction_precision,
                 vector_precision=vector_precision,
             )

@@ -79,6 +79,7 @@ def test_dashpot_blocks_match_analytic():
         absorbing.assemble_dashpots(mesh, pre, bad, mats)
 
 
+@pytest.mark.slow
 def test_absorbing_step_matches_dense_oracle():
     """Full Newmark frames with dashpots track the dense FP64 twin at the
     usual parity tolerances (newmark_stepper_test.cpp:230-238 bar)."""
@@ -113,6 +114,7 @@ def test_absorbing_step_matches_dense_oracle():
         )
 
 
+@pytest.mark.slow
 def test_structured_absorbing_matches_general_path():
     """Axis-plane dashpots on the structured fast path reproduce the
     general gather path's trajectory on the same box."""
@@ -143,6 +145,7 @@ def test_structured_absorbing_matches_general_path():
         np.testing.assert_allclose(ug, us, atol=3.0e-4 * scale)
 
 
+@pytest.mark.slow
 def test_absorbing_swallows_momentum():
     """A bar translating at unit velocity with NO constraints keeps
     translating forever (rigid mode); with dashpots on both end faces the

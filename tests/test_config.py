@@ -345,6 +345,39 @@ def test_solver_variant_pipelined_parses():
     assert cfg.solver.variant == "pipelined"
 
 
+def test_solver_replace_every_parses_and_defaults():
+    cfg = parse_config_node(make_config_dict())
+    assert cfg.solver.replace_every == 10
+    cfg = parse_config_node(
+        make_config_dict(
+            solver={
+                "type": "pcg",
+                "preconditioner": "bj",
+                "tol_runtime": 1e-4,
+                "tol_pause": 1e-5,
+                "max_iters": 10,
+                "variant": "pipelined",
+                "replace_every": 0,
+            }
+        )
+    )
+    assert cfg.solver.replace_every == 0
+
+
+def test_solver_replace_every_validated():
+    _expect(
+        "expected a non-negative integer",
+        solver={
+            "type": "pcg",
+            "preconditioner": "bj",
+            "tol_runtime": 1e-4,
+            "tol_pause": 1e-5,
+            "max_iters": 10,
+            "replace_every": -3,
+        },
+    )
+
+
 def test_solver_variant_validated():
     _expect(
         "solver.variant must be 'auto', 'classic', 'fused' or 'pipelined'",

@@ -33,6 +33,7 @@ def test_block_alignment(hex_model):
     assert hex_model.padded_hex_count == BLOCK_ELEMS
 
 
+@pytest.mark.slow
 def test_hex_kernel_matches_stream_math(hex_model, monkeypatch):
     rng = np.random.default_rng(7)
     x = jnp.asarray(

@@ -107,6 +107,7 @@ def test_coarse_mass_conserved_and_interior_rediscretized(cfg):
     assert m_c[2, 2, 2] == pytest.approx(8.0 * m_f[2, 2, 2], rel=1e-6)
 
 
+@pytest.mark.slow
 def test_hierarchy_shapes_and_fallbacks(cfg):
     model, force = build_structured_model(
         10, 6, 6, _material(cfg), cfg.materials[0].density,
@@ -137,6 +138,7 @@ def test_hierarchy_shapes_and_fallbacks(cfg):
     assert mg.attach_multigrid(hetero) is hetero
 
 
+@pytest.mark.slow
 def test_vcycle_symmetric_positive_definite(mg_model, rng):
     """<x, M^-1 y> == <y, M^-1 x> and <x, M^-1 x> > 0 on the free subspace
     — what PCG requires of a preconditioner."""
@@ -161,6 +163,7 @@ def test_vcycle_symmetric_positive_definite(mg_model, rng):
     assert np.all(z[~free] == 0.0)
 
 
+@pytest.mark.slow
 def test_pcg_same_solution_fewer_iterations(mg_model, cfg):
     """Stiffness-dominated solve: identical solution, fewer iterations."""
     model, force = mg_model
@@ -193,6 +196,7 @@ def test_pcg_same_solution_fewer_iterations(mg_model, cfg):
     )
 
 
+@pytest.mark.slow
 def test_newmark_trajectory_parity(mg_model, cfg):
     """3 dynamic frames in fp64 vector mode: multigrid and block-Jacobi
     produce the same trajectory (tight tolerance, fully converged)."""

@@ -131,6 +131,7 @@ def test_preconditioner_zeroes_constrained(rng):
 
 
 @pytest.mark.parametrize("mesh_kind", ["bar_tet", "bar_hex"])
+@pytest.mark.slow
 def test_solve_pcg_matches_dense_oracle(mesh_kind):
     """Full solve parity: matrix-free PCG vs dense-CG oracle
     (pcg_test.cpp:263-361)."""
@@ -210,6 +211,7 @@ def test_solve_pcg_warm_start_reuses_solution():
     assert int(tel2.iterations) <= max(int(tel1.iterations) // 4, 1)
 
 
+@pytest.mark.slow
 def test_fp32_reduction_precision_converges():
     """The YAML precision.reductions=fp32 knob (config.hpp:152-156): dots
     reduce in f32; the solve still converges and the telemetry dtype
@@ -277,6 +279,7 @@ def test_unrolled_hex_forces_match_allgp_einsum(rng):
 
 
 @pytest.mark.parametrize("mesh_kind", ["bar_tet", "bar_hex"])
+@pytest.mark.slow
 def test_fused_variant_matches_classic(mesh_kind):
     """solver.variant='fused' reproduces the classic trajectory at the
     production tolerances (2e-4 runtime / 1e-5 pause, docs/spec.md:28).
@@ -311,6 +314,7 @@ def test_fused_variant_matches_classic(mesh_kind):
     )
 
 
+@pytest.mark.slow
 def test_fused_variant_matches_dense_oracle():
     """Fused variant vs the dense oracle at the pcg_test.cpp:358 tolerance —
     the same parity bar the classic loop has to clear."""
@@ -371,6 +375,7 @@ def test_fused_variant_zero_rhs_converges_immediately():
 
 
 @pytest.mark.parametrize("mesh_kind", ["bar_tet", "bar_hex"])
+@pytest.mark.slow
 def test_pipelined_variant_matches_classic(mesh_kind):
     """solver.variant='pipelined' reproduces the classic trajectory at the
     production runtime tolerance (2e-4, docs/spec.md:28) with tight
@@ -421,6 +426,7 @@ def test_pipelined_variant_matches_classic(mesh_kind):
     )
 
 
+@pytest.mark.slow
 def test_pipelined_variant_matches_dense_oracle():
     """Pipelined variant vs the dense oracle at the pcg_test.cpp:358
     tolerance — the same parity bar the classic loop has to clear."""
@@ -475,6 +481,52 @@ def test_pipelined_variant_zero_rhs_converges_immediately():
     np.testing.assert_array_equal(np.asarray(solution), 0.0)
 
 
+def test_pipelined_max_iters_zero_reports_initial_convergence():
+    """ADVICE r3: with max_iterations=0 and an already-converged x0 the
+    pipelined variant must report converged=True with the true (finite)
+    initial residual, matching the fused variant's pre-loop check —
+    previously it reported converged=False with residual_norm=inf."""
+    mesh, cfg = single_tet_mesh(), tet_config()
+    _, _, ray, coeffs, model, _, _, _, _ = _setup(mesh, cfg)
+    rhs = jnp.zeros((model.padded_node_count, 3), jnp.float32)
+    x0 = jnp.zeros_like(rhs)
+    _, telemetry = solve_pcg(
+        model, rhs, 1.0, 1.0, 1.0e-6, 0, x0, warm_start=False,
+        variant="pipelined",
+    )
+    assert int(telemetry.iterations) == 0
+    assert bool(telemetry.converged)
+    assert np.isfinite(float(telemetry.residual_norm))
+
+
+@pytest.mark.slow
+def test_pipelined_replace_every_zero_plumbs_through_dispatch():
+    """ADVICE r3: replace_every is forwarded through the solve_pcg
+    dispatch (and the solver.replace_every YAML knob) — replace_every=0
+    disables residual replacement and still converges at the production
+    tolerance, matching the default-period trajectory."""
+    mesh = bar_mesh(3, 1, 1, hex_elements=True)
+    cfg = bar_config()
+    _, mats, ray, coeffs, model, state, force, assembly, dirichlet = _setup(
+        mesh, cfg
+    )
+    rhs = jnp.where(model.bc_mask, model.bc_value, force).astype(jnp.float32)
+    x0 = jnp.zeros((model.padded_node_count, 3), jnp.float32)
+    sol_default, tel_default = solve_pcg(
+        model, rhs, 1.0, 4.0e6, 2.0e-4, 200, x0, warm_start=False,
+        variant="pipelined",
+    )
+    sol_off, tel_off = solve_pcg(
+        model, rhs, 1.0, 4.0e6, 2.0e-4, 200, x0, warm_start=False,
+        variant="pipelined", replace_every=0,
+    )
+    assert bool(tel_default.converged) and bool(tel_off.converged)
+    scale = np.abs(np.asarray(sol_default)).max() + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(sol_off), np.asarray(sol_default), atol=5e-4 * scale
+    )
+
+
 def test_fused_dots_match_separate_dots(rng):
     from civiwave_tpu.solver.pcg import dot_f64, fused_dots
 
@@ -488,6 +540,7 @@ def test_fused_dots_match_separate_dots(rng):
     np.testing.assert_allclose(fused, sep, rtol=1e-14)
 
 
+@pytest.mark.slow
 def test_megafused_iteration_loop_matches_fused():
     """The whole-iteration-kernel loop (_solve_pcg_megafused, interpret
     mode) reproduces the fused variant's trajectory: same iteration

@@ -129,6 +129,7 @@ def _general_sim(path, monkeypatch):
     return build_simulation(path)
 
 
+@pytest.mark.slow
 def test_yaml_routes_to_structured_fast_path(tmp_path, monkeypatch):
     """A synthetic-box hex scenario must run on the StructuredModel fast
     path and produce the same trajectory as the general gather path —
@@ -152,6 +153,7 @@ def test_yaml_routes_to_structured_fast_path(tmp_path, monkeypatch):
     np.testing.assert_allclose(u_fast, u_ref, atol=2e-5 * scale)
 
 
+@pytest.mark.slow
 def test_structured_yaml_outputs_and_probes(tmp_path):
     """Structured scenarios produce VTU + probe output through the
     device-side derived-field path — no host mesh/preprocess required."""
@@ -175,6 +177,7 @@ def test_structured_yaml_outputs_and_probes(tmp_path):
     assert len(lines) == 1 + 3 * 2
 
 
+@pytest.mark.slow
 def test_structured_nonzero_dirichlet_matches_general(tmp_path, monkeypatch):
     """Per-axis Dirichlet with nonzero targets (config.cpp:500-567) on the
     structured path: prescribed settlement of the fixed plane must match the
@@ -212,6 +215,7 @@ def test_tet_box_yaml_stays_on_general_path(tmp_path):
     assert sim.model.tet_count > 0
 
 
+@pytest.mark.slow
 def test_structured_output_parity_with_general(tmp_path, monkeypatch):
     """Probe CSV + VTU derived fields from the device-side structured
     output path must match the general host path numerically."""

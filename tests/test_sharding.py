@@ -122,6 +122,7 @@ def test_sharded_multi_step_stability(eight_device_mesh):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_structured_slab_sharding_matches_single_device(eight_device_mesh):
     from civiwave_tpu.mesh.structured import build_structured_model
     from civiwave_tpu.parallel.sharding import shard_structured
@@ -210,6 +211,7 @@ def test_structured_halo_operator_matches_unsharded(
     )
 
 
+@pytest.mark.slow
 def test_structured_sharded_step_with_pallas_kernel(eight_device_mesh):
     """Full sharded Newmark step with the fused Pallas slab kernel active
     per shard (interpret mode) matches the single-device step."""
@@ -272,6 +274,7 @@ def _compile_structured_step_hlo(mesh, variant):
     )
 
 
+@pytest.mark.slow
 def test_pcg_iteration_collective_counts(eight_device_mesh):
     """Compiler-verified per-iteration collective counts on the sharded
     structured step (VERDICT round-2 item 1b): the fused Chronopoulos-Gear
@@ -304,6 +307,7 @@ def test_pcg_iteration_collective_counts(eight_device_mesh):
     assert classic_cp == fused_cp == 2
 
 
+@pytest.mark.slow
 def test_pipelined_collective_counts_and_overlap_structure(eight_device_mesh):
     """The pipelined (Ghysels-Vanroose) variant keeps the fused variant's
     collective budget — ONE (3,) f64 all-reduce + the 2 halo permutes per
@@ -311,7 +315,15 @@ def test_pipelined_collective_counts_and_overlap_structure(eight_device_mesh):
     first consumed AFTER the preconditioner+matvec pass, giving XLA's
     latency-hiding scheduler the window to overlap them (the overlap
     itself is a TPU scheduler behavior; what the HLO proves portably is
-    the count and the single fused reduction)."""
+    the count and the single fused reduction).
+
+    Scope note (ADVICE r3): pcg_body_collectives counts the while-body
+    computation only.  The residual-replacement lax.cond branch is its own
+    HLO computation carrying 2 additional halo permutes; it fires every
+    `replace_every`-th iteration (default 10), so the true budget on those
+    iterations is 1 AR + 4 CP.  The exclusion is deliberate — the steady-
+    state per-iteration budget is what the latency projection uses — and
+    is documented in ADR-25."""
     pipelined = pcg_body_collectives(
         _compile_structured_step_hlo(eight_device_mesh, "pipelined")
     )
@@ -326,6 +338,7 @@ def test_pipelined_collective_counts_and_overlap_structure(eight_device_mesh):
     ), f"expected f64[3] all-reduce: {pipelined}"
 
 
+@pytest.mark.slow
 def test_pipelined_variant_sharded_matches_classic_single_device(
     eight_device_mesh,
 ):
@@ -370,6 +383,7 @@ def test_pipelined_variant_sharded_matches_classic_single_device(
         np.testing.assert_allclose(got, ref, atol=2e-4 * scale_ref)
 
 
+@pytest.mark.slow
 def test_fused_variant_sharded_matches_classic_single_device(eight_device_mesh):
     """Trajectory parity across BOTH axes at once: fused variant + 8-way
     X-slab sharding vs classic single-device, 3 Newmark steps."""
@@ -410,6 +424,7 @@ def test_fused_variant_sharded_matches_classic_single_device(eight_device_mesh):
     np.testing.assert_allclose(u_fused, u_ref, atol=2e-4 * scale)
 
 
+@pytest.mark.slow
 def test_heterogeneous_structured_sharded_matches_single_device(
     eight_device_mesh,
 ):
@@ -463,6 +478,7 @@ def test_heterogeneous_structured_sharded_matches_single_device(
     np.testing.assert_allclose(u8, u1, atol=1e-5 * (np.abs(u1).max() + 1e-30))
 
 
+@pytest.mark.slow
 def test_absorbing_structured_sharded_matches_single_device(
     eight_device_mesh,
 ):

@@ -34,6 +34,7 @@ def _build_stepper(mesh, cfg, **kwargs):
 
 
 @pytest.mark.parametrize("hex_elements", [False, True])
+@pytest.mark.slow
 def test_step_matches_dense_oracle(hex_elements):
     mesh = bar_mesh(2, 1, 1, hex_elements=hex_elements)
     cfg = bar_config()
@@ -178,6 +179,7 @@ def test_warm_start_reduces_iterations():
     assert iters[-1] <= iters[0]
 
 
+@pytest.mark.slow
 def test_fp64_vectors_reproduce_oracle_to_1e6():
     """The precision.vectors fp64 debug mode (config.hpp:152-156) must
     reproduce the dense f64 oracle to better than 1e-6 relative
@@ -263,6 +265,7 @@ def test_named_scopes_in_lowered_program():
         assert scope in text, f"named scope '{scope}' missing from HLO"
 
 
+@pytest.mark.slow
 def test_warm_start_policy_solution_matches_predictor_trajectory():
     """warm_start_policy='solution' (the reference's previous-solution
     seed, newmark_stepper.cpp:1120-1133) and the default 'predictor' seed
@@ -308,6 +311,7 @@ def test_warm_start_policy_solution_matches_predictor_trajectory():
     np.testing.assert_allclose(u_delta, u_sol, atol=1.0e-5 * scale)
 
 
+@pytest.mark.slow
 def test_solver_settings_knobs_thread_into_stepper():
     """YAML solver.variant / solver.warm_start_policy reach the stepper
     (round-2 ADVICE: the 'solution' parity policy must be reachable from a

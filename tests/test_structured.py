@@ -166,6 +166,7 @@ def test_node_blocks_match(both_models):
     np.testing.assert_allclose(blocks_struct, blocks_packed, atol=3e-6 * ref)
 
 
+@pytest.mark.slow
 def test_pcg_solution_matches(both_models):
     packed, structured, force_packed, force_structured, _ = both_models
     scale, mf = np.float32(1.0), np.float32(4.0e6)
@@ -187,6 +188,7 @@ def test_pcg_solution_matches(both_models):
     )
 
 
+@pytest.mark.slow
 def test_newmark_step_matches(both_models):
     packed, structured, force_packed, force_structured, ray = both_models
 
@@ -446,6 +448,7 @@ def test_pcg_nonzero_dirichlet_targets_structured():
     assert float(vals[2].min()) == pytest.approx(-2.0e-4)
 
 
+@pytest.mark.slow
 def test_pc_keff_fused_kernel_matches(rng):
     """The fused pc+matvec mega kernel (interpret mode on CPU) must
     reproduce the composition — u = M^-1 r from the class table, then
