@@ -79,6 +79,26 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(_FLOATP),
         ]
+        lib.cwf_write_vtu_padded.restype = ctypes.c_int32
+        lib.cwf_write_vtu_padded.argtypes = [
+            ctypes.c_char_p,  # path
+            ctypes.c_int64,  # n_points
+            ctypes.c_int64,  # n_cells
+            _FLOATP,  # points
+            ctypes.POINTER(ctypes.c_int32),  # padded elements (E, max_slots)
+            ctypes.c_int32,  # max_slots
+            ctypes.POINTER(ctypes.c_int32),  # element node counts (E,)
+            ctypes.c_double,  # time
+            ctypes.c_uint32,  # frame
+            ctypes.c_int32,  # n point arrays
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(_FLOATP),
+            ctypes.c_int32,  # n cell arrays
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(_FLOATP),
+        ]
         lib.cwf_write_vtu_structured.restype = ctypes.c_int32
         lib.cwf_write_vtu_structured.argtypes = [
             ctypes.c_char_p,  # path
@@ -150,6 +170,59 @@ def write_vtu_structured_native(
             int(ny),
             int(nz),
             points.ctypes.data_as(_FLOATP),
+            float(simulation_time),
+            int(frame_index),
+            len(point_arrays),
+            pa_names,
+            pa_comps,
+            pa_ptrs,
+            len(cell_arrays),
+            ca_names,
+            ca_comps,
+            ca_ptrs,
+        )
+    )
+
+
+def write_vtu_padded_native(
+    path: str,
+    points: np.ndarray,
+    elements: np.ndarray,  # (E, max_slots) int32, -1 tail padding
+    element_node_counts: np.ndarray,  # (E,) int32
+    point_arrays: List[Tuple[str, int, np.ndarray]],
+    cell_arrays: List[Tuple[str, int, np.ndarray]],
+    simulation_time: float,
+    frame_index: int,
+) -> int:
+    """Write one unstructured frame streaming connectivity/offsets/types
+    straight from the resident padded element table — no VTU-layout cell
+    arrays are ever materialized on the host (the ragged extraction +
+    cumsum built ~600 MB of per-frame temporaries at 10M-DOF tet meshes).
+    Returns the native status (0 = ok, -3 = Int32 offsets overflow)."""
+    lib = load_library()
+    assert lib is not None
+    point_arrays = [
+        (n, c, np.ascontiguousarray(a, dtype=np.float32))
+        for n, c, a in point_arrays
+    ]
+    cell_arrays = [
+        (n, c, np.ascontiguousarray(a, dtype=np.float32))
+        for n, c, a in cell_arrays
+    ]
+    points = np.ascontiguousarray(points, dtype=np.float32)
+    elements = np.ascontiguousarray(elements, dtype=np.int32)
+    counts = np.ascontiguousarray(element_node_counts, dtype=np.int32)
+    pa_names, pa_comps, pa_ptrs = _array_group(point_arrays)
+    ca_names, ca_comps, ca_ptrs = _array_group(cell_arrays)
+    return int(
+        lib.cwf_write_vtu_padded(
+            path.encode("utf-8"),
+            points.shape[0],
+            elements.shape[0],
+            points.ctypes.data_as(_FLOATP),
+            elements.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            elements.shape[1] if elements.ndim == 2 else 0,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             float(simulation_time),
             int(frame_index),
             len(point_arrays),

@@ -311,8 +311,6 @@ def write_vtu(
             np.float32
         )
 
-        connectivity, cell_offsets, cell_types = _cells_arrays(mesh)
-
         point_arrays, cell_arrays = _field_arrays(
             displacement, velocity, acceleration, derived, n
         )
@@ -320,12 +318,14 @@ def write_vtu(
         from . import native_vtu
 
         if native_vtu.available():
-            status = native_vtu.write_vtu_native(
+            # stream connectivity/offsets/types straight from the padded
+            # element table — the ragged extraction + cumsum of
+            # _cells_arrays materializes ~600 MB/frame at 10M-DOF tets
+            status = native_vtu.write_vtu_padded_native(
                 path,
                 points,
-                connectivity,
-                cell_offsets,
-                cell_types,
+                mesh.elements,
+                mesh.element_node_counts,
                 point_arrays,
                 cell_arrays,
                 simulation_time,
@@ -336,6 +336,8 @@ def write_vtu(
                     f"native VTU writer failed (status {status})", [str(path)]
                 )
             return
+
+        connectivity, cell_offsets, cell_types = _cells_arrays(mesh)
 
         blob, offs = _blocks_and_offsets(
             [a for _, _, a in point_arrays]

@@ -274,6 +274,115 @@ int cwf_write_vtu(const char* path, int64_t n_points, int64_t n_cells,
     return w.close() ? 0 : -2;
 }
 
+// Padded-mesh variant: connectivity/offsets/types are streamed straight
+// from the mesh's resident (n_cells, max_slots) padded element table
+// (-1 sentinels in the tail slots, civiwave_tpu/mesh/model.py) in 1M-cell
+// chunks — the VTU-layout ragged connectivity, cumsum offsets and types
+// arrays are never materialized on the host.  At a 10M-DOF tet mesh the
+// explicit path builds ~600 MB of per-frame temporaries; this path peaks
+// at ~36 MB of chunk buffers.  Byte-identical to cwf_write_vtu over the
+// ragged extraction (row-major first-count slots per row).
+// Returns 0 success, -1 open failure, -2 write failure, -3 if the
+// connectivity would overflow the Int32 offsets block.
+int cwf_write_vtu_padded(const char* path, int64_t n_points, int64_t n_cells,
+                         const float* points, const int32_t* elements,
+                         int32_t max_slots, const int32_t* counts,
+                         double time_value, uint32_t frame,
+                         int32_t n_point_arrays, const char** pa_names,
+                         const int32_t* pa_comps, const float** pa_data,
+                         int32_t n_cell_arrays, const char** ca_names,
+                         const int32_t* ca_comps, const float** ca_data) {
+    int64_t conn_len = 0;
+    for (int64_t c = 0; c < n_cells; ++c) conn_len += counts[c];
+    if (conn_len > INT32_MAX || n_points > INT32_MAX) return -3;
+
+    std::vector<uint64_t> block_offsets;
+    uint64_t running = 0;
+    std::vector<Block> data_blocks;  // point arrays, cell arrays, points
+    auto push = [&](const void* data, uint64_t bytes) {
+        block_offsets.push_back(running);
+        data_blocks.push_back(Block{data, bytes});
+        running += sizeof(uint32_t) + bytes;
+    };
+    for (int32_t i = 0; i < n_point_arrays; ++i)
+        push(pa_data[i], uint64_t(n_points) * pa_comps[i] * sizeof(float));
+    for (int32_t i = 0; i < n_cell_arrays; ++i)
+        push(ca_data[i], uint64_t(n_cells) * ca_comps[i] * sizeof(float));
+    push(points, uint64_t(n_points) * 3 * sizeof(float));
+    const uint64_t conn_bytes = uint64_t(conn_len) * sizeof(int32_t);
+    const uint64_t offs_bytes = uint64_t(n_cells) * sizeof(int32_t);
+    const uint64_t types_bytes = uint64_t(n_cells) * sizeof(uint8_t);
+    block_offsets.push_back(running);
+    running += sizeof(uint32_t) + conn_bytes;
+    block_offsets.push_back(running);
+    running += sizeof(uint32_t) + offs_bytes;
+    block_offsets.push_back(running);
+
+    Writer w(path);
+    if (!w.opened()) return -1;
+
+    std::string head = build_header(n_points, n_cells, time_value, frame,
+                                    n_point_arrays, pa_names, pa_comps,
+                                    n_cell_arrays, ca_names, ca_comps,
+                                    block_offsets);
+    w.write(head.data(), head.size());
+    for (const Block& b : data_blocks) write_block(w, b);
+
+    const int64_t kChunkCells = 1 << 20;
+    std::vector<int32_t> chunk(size_t(max_slots) * kChunkCells);
+
+    // connectivity: first counts[c] slots of each padded row, row-major
+    write_block_header(w, conn_bytes);
+    {
+        int64_t filled = 0;
+        for (int64_t c = 0; w.ok() && c < n_cells; ++c) {
+            const int32_t* row = elements + c * max_slots;
+            const int32_t cnt = counts[c];
+            std::memcpy(chunk.data() + filled, row, sizeof(int32_t) * cnt);
+            filled += cnt;
+            if (filled + max_slots > int64_t(chunk.size())) {
+                w.write(chunk.data(), sizeof(int32_t) * size_t(filled));
+                filled = 0;
+            }
+        }
+        if (filled) w.write(chunk.data(), sizeof(int32_t) * size_t(filled));
+    }
+
+    // offsets: running cumsum of counts
+    write_block_header(w, offs_bytes);
+    {
+        int64_t written = 0;
+        int64_t acc = 0;
+        while (w.ok() && written < n_cells) {
+            int64_t count = std::min(kChunkCells, n_cells - written);
+            for (int64_t c = 0; c < count; ++c) {
+                acc += counts[written + c];
+                chunk[size_t(c)] = int32_t(acc);
+            }
+            w.write(chunk.data(), sizeof(int32_t) * size_t(count));
+            written += count;
+        }
+    }
+
+    // types: 10 (VTK_TETRA) for 4-node cells, 12 (VTK_HEXAHEDRON) otherwise
+    write_block_header(w, types_bytes);
+    {
+        std::vector<uint8_t> tchunk(static_cast<size_t>(kChunkCells), 0);
+        int64_t written = 0;
+        while (w.ok() && written < n_cells) {
+            int64_t count = std::min(kChunkCells, n_cells - written);
+            for (int64_t c = 0; c < count; ++c)
+                tchunk[size_t(c)] =
+                    counts[written + c] == 4 ? uint8_t(10) : uint8_t(12);
+            w.write(tchunk.data(), size_t(count));
+            written += count;
+        }
+    }
+
+    w.write(kTail, sizeof(kTail) - 1);
+    return w.close() ? 0 : -2;
+}
+
 // Structured-box variant: connectivity/offsets/types are implicit in
 // (nx, ny, nz) cells and generated in 1M-cell chunks while streaming —
 // nothing cell-sized is ever materialized on the host.

@@ -191,6 +191,55 @@ def test_native_vtu_writer_byte_identical(tet_setup, tmp_path, monkeypatch):
     assert native_bytes == python_bytes
 
 
+@pytest.mark.parametrize("kind", ["tet", "hex", "mixed"])
+def test_native_vtu_padded_byte_identical(kind, tmp_path, monkeypatch):
+    """The streaming padded-connectivity path (cwf_write_vtu_padded) must be
+    byte-identical to the pure-Python ragged extraction for tet, hex, and
+    MIXED tet+hex meshes (variable node counts exercise the per-row copy,
+    the cumsum offsets, and the 10/12 type mapping)."""
+    from civiwave_tpu.post import native_vtu
+    from civiwave_tpu.post.derived import DerivedFieldSet
+    from civiwave_tpu.post.vtu import write_vtu
+    from civiwave_tpu.utils.synthetic import box_mesh
+
+    if not native_vtu.available():
+        pytest.skip("no native toolchain")
+
+    if kind == "mixed":
+        # hex box mesh with the first two cells split into tets: hand-lower
+        # counts so padded rows carry genuine -1 tails
+        mesh = box_mesh(3, 2, 2, hex_elements=True)
+        mesh.element_node_counts = mesh.element_node_counts.copy()
+        mesh.elements = mesh.elements.copy()
+        mesh.element_node_counts[:2] = 4
+        mesh.elements[:2, 4:] = -1
+    else:
+        mesh = box_mesh(3, 2, 2, hex_elements=(kind == "hex"))
+
+    n, e = mesh.node_count, mesh.element_count
+    rng = np.random.default_rng(11)
+    u = rng.standard_normal((n, 3)).astype(np.float32) * 0.01
+    v = rng.standard_normal((n, 3)).astype(np.float32)
+    a = rng.standard_normal((n, 3)).astype(np.float32)
+    fields = DerivedFieldSet(
+        element_strain=rng.standard_normal((e, 6)).astype(np.float32),
+        element_stress=rng.standard_normal((e, 6)).astype(np.float32),
+        element_von_mises=rng.standard_normal(e).astype(np.float32),
+        node_strain=rng.standard_normal((n, 6)).astype(np.float32),
+        node_stress=rng.standard_normal((n, 6)).astype(np.float32),
+        node_von_mises=rng.standard_normal(n).astype(np.float32),
+    )
+
+    p_native = str(tmp_path / "native.vtu")
+    write_vtu(p_native, mesh, u, v, a, fields, 0.3, 4)
+
+    p_python = str(tmp_path / "python.vtu")
+    monkeypatch.setattr(native_vtu, "available", lambda: False)
+    write_vtu(p_python, mesh, u, v, a, fields, 0.3, 4)
+
+    assert open(p_native, "rb").read() == open(p_python, "rb").read()
+
+
 def test_structured_device_derived_matches_host():
     """Device-side derived fields (uniform grid collapse of the row-
     weighted averages) must equal the host per-quadrature-row path."""
