@@ -29,6 +29,7 @@ all-reduce/one-plane-permute over ICI (scaling-book-class latencies).
 Env knobs:
     CIVIWAVE_MC_SIZE=63,32,32      grid for HLO extraction (compile-sized)
     CIVIWAVE_MC_SHARDS=1,2,4,8     shard counts to compile
+    CIVIWAVE_MC_SHARDS2D=4x2,2x4   2-D (X, Y) device grids to compile
     CIVIWAVE_MC_TARGET_DOF=10.06e6 projection workload
     CIVIWAVE_MC_MEASURED_DOF=50.33e6, CIVIWAVE_MC_T_MATVEC_MS=4.48,
     CIVIWAVE_MC_T_TAIL_MS=2.70, CIVIWAVE_MC_ITERS=24.8,
@@ -60,13 +61,35 @@ def main() -> None:
 
     enable_persistent_cache()
 
-    n_visible = len(jax.devices())
-    backend = jax.default_backend()
-    shard_counts = [
+    shard_req = [
         int(s)
         for s in os.environ.get("CIVIWAVE_MC_SHARDS", "1,2,4,8").split(",")
     ]
-    shard_counts = [n for n in shard_counts if n <= n_visible]
+    need = max(shard_req, default=1)
+    for spec in os.environ.get("CIVIWAVE_MC_SHARDS2D", "4x2").split(","):
+        if "x" in spec:
+            px, py = (int(s) for s in spec.split("x"))
+            need = max(need, px * py)
+    if len(jax.devices()) < need:
+        # fall back to virtual CPU devices (the axon sitecustomize holds
+        # one real chip open; compile-time collective extraction is
+        # platform-independent) — same mechanism as dryrun_multichip
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", need)
+        except RuntimeError:
+            pass
+        if len(jax.devices()) < need:
+            from jax._src import xla_bridge
+
+            xla_bridge._clear_backends()
+            xla_bridge.get_backend.cache_clear()
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", need)
+
+    n_visible = len(jax.devices())
+    backend = jax.default_backend()
+    shard_counts = [n for n in shard_req if n <= n_visible]
     if not shard_counts:
         log(f"no usable shard counts on {n_visible} visible devices")
         return
@@ -202,6 +225,82 @@ def main() -> None:
                 f"AR/iter={n_ar} CP/iter={n_cp}; projected {projected:.0f} "
                 f"steps/s at 10M DOF on v5p-{max(32, n_shards)}"
                 + (f"; measured {measured:.2f} steps/s" if measured else "")
+            )
+            print(json.dumps(row))
+
+    # ---- 2-D (X, Y) decomposition: compile + count the 4-permute halo ----
+    grids2d = []
+    for spec in os.environ.get("CIVIWAVE_MC_SHARDS2D", "4x2").split(","):
+        if "x" in spec:
+            px, py = (int(s) for s in spec.split("x"))
+            if px * py <= n_visible and px > 1 and py > 1:
+                grids2d.append((px, py))
+    if grids2d:
+        from civiwave_tpu.parallel.sharding import make_device_mesh_2d
+
+        pad2x = max(px for px, _ in grids2d)
+        pad2y = max(py for _, py in grids2d)
+        model2, force2 = build_structured_model(
+            nx, ny, nz, mats[0], cfg.materials[0].density,
+            traction=(0.0, 0.0, -1.0e6),
+            pad_x_multiple=pad2x, pad_y_multiple=pad2y,
+        )
+        state2 = model2.zero_state()
+        for px, py in grids2d:
+            mesh2d = make_device_mesh_2d(px, py)
+            s_model, s_state, s_force = shard_structured(
+                model2, state2, force2, mesh2d, axis_name_y="shard_y"
+            )
+            if backend != "tpu":
+                # the 2-D path has no XLA local form — force the ghost-Y
+                # kernel through the interpreter so the compiled HLO shows
+                # the production 4-permute budget (as the tests do)
+                import dataclasses
+
+                s_model = dataclasses.replace(
+                    s_model, pallas_interpret=True
+                )
+            pc = jax.jit(lambda m, a, b: m.build_preconditioner(a, b))(
+                s_model, ss, mf
+            )
+            step = jax.jit(
+                partial(
+                    newmark_step,
+                    rayleigh_alpha=ray.alpha,
+                    rayleigh_beta=ray.beta,
+                    solver_variant="fused",
+                )
+            )
+            t0 = time.perf_counter()
+            compiled = step.lower(
+                s_model, s_state, s_force, 1e-3, 2e-4, 120, preconditioner=pc
+            ).compile()
+            compile_s = time.perf_counter() - t0
+            n_ar, n_cp = per_iteration_counts(compiled.as_text())
+            n_shards = px * py
+            # same projection model; the 2-D halo trades the 1-D slab's
+            # 2 big plane permutes for 4 smaller ones (2 rows + 2 planes)
+            per_chip = target_dof / n_shards / measured_dof
+            t_compute = (t_matvec + t_tail) * per_chip / speedup
+            t_iter = t_compute + n_ar * t_ar + n_cp * t_cp
+            t_step = t_iter * iters + t_envelope * per_chip / speedup
+            projected = 1.0 / t_step
+            row = {
+                "metric": "multichip_pcg_collectives",
+                "shards": n_shards,
+                "mesh2d": f"{px}x{py}",
+                "variant": "fused",
+                "all_reduce_per_iter": n_ar,
+                "permute_per_iter": n_cp,
+                "projected_steps_per_sec_10M_v5p": round(projected, 1),
+                "measured_steps_per_sec": None,
+                "backend": backend,
+            }
+            results.append(row)
+            log(
+                f"[2-D {px}x{py}, fused] compile {compile_s:.1f}s; "
+                f"AR/iter={n_ar} CP/iter={n_cp}; projected {projected:.0f} "
+                f"steps/s at 10M DOF on v5p-{max(32, n_shards)}"
             )
             print(json.dumps(row))
 

@@ -79,6 +79,9 @@ class StructuredModel:
     # node planes along +X beyond nx+1: dead (fully constrained, massless)
     # padding so X divides a device mesh evenly
     pad_planes: int = field(metadata=dict(static=True), default=0)
+    # node rows along +Y beyond ny+1: dead padding so Y divides the second
+    # axis of a 2-D (X, Y) device mesh evenly
+    pad_rows: int = field(metadata=dict(static=True), default=0)
     # uniform cell spacing — the ops derive the constant Gauss tables from
     # this (concrete numpy values are required to bake stencil constants)
     spacing: Tuple[float, float, float] = field(
@@ -99,6 +102,10 @@ class StructuredModel:
     # GSPMD).  Set by parallel.sharding.shard_structured.
     shard_mesh: Optional[object] = field(metadata=dict(static=True), default=None)
     shard_axis: str = field(metadata=dict(static=True), default="shard")
+    # second mesh axis of a 2-D (X, Y) slab decomposition (None => 1-D)
+    shard_axis_y: Optional[str] = field(
+        metadata=dict(static=True), default=None
+    )
     # force the Pallas kernels through the interpreter (CPU tests exercise
     # the exact sharded-kernel code path without TPU hardware)
     pallas_interpret: bool = field(metadata=dict(static=True), default=False)
@@ -126,16 +133,20 @@ class StructuredModel:
 
     @property
     def lam_cells(self) -> jax.Array:
-        """(nx, ny, nz) live-cell view of the X-padded material grid."""
-        return self.lam_grid[: self.nx]
+        """(nx, ny, nz) live-cell view of the X/Y-padded material grid."""
+        return self.lam_grid[: self.nx, : self.ny]
 
     @property
     def mu_cells(self) -> jax.Array:
-        return self.mu_grid[: self.nx]
+        return self.mu_grid[: self.nx, : self.ny]
 
     @property
     def grid_shape(self) -> Tuple[int, int, int]:
-        return (self.nx + 1 + self.pad_planes, self.ny + 1, self.nz + 1)
+        return (
+            self.nx + 1 + self.pad_planes,
+            self.ny + 1 + self.pad_rows,
+            self.nz + 1,
+        )
 
     @property
     def dof_count(self) -> int:
@@ -163,15 +174,21 @@ class StructuredModel:
 
     def to_nodal(self, vector: jax.Array) -> jax.Array:
         """CSG vector -> (node_count, 3) nodal rows (x-major order)."""
+        if self.pad_rows:  # dead Y rows interleave in x-major flat order
+            vector = vector[:, :, : self.ny + 1, :]
         flat = jnp.transpose(vector, (1, 2, 3, 0)).reshape(-1, 3)
         return flat[: self.node_count]
 
     def from_nodal(self, rows) -> jax.Array:
         """(node_count, 3) nodal rows -> CSG vector (pad planes zeroed)."""
         rows = jnp.asarray(rows, jnp.float32)[: self.node_count]
-        total = int(np.prod(self.grid_shape))
+        real = (self.nx + 1 + self.pad_planes, self.ny + 1, self.nz + 1)
+        total = int(np.prod(real))
         flat = jnp.zeros((total, 3), jnp.float32).at[: self.node_count].set(rows)
-        return jnp.transpose(flat.reshape(*self.grid_shape, 3), (3, 0, 1, 2))
+        grid = jnp.transpose(flat.reshape(*real, 3), (3, 0, 1, 2))
+        if self.pad_rows:
+            grid = jnp.pad(grid, ((0, 0), (0, 0), (0, self.pad_rows), (0, 0)))
+        return grid
 
     def apply_keff(self, x, stiffness_scale, mass_factor):
         from ..ops import structured as _ops
@@ -349,6 +366,7 @@ def build_structured_model(
     lam_grid: Optional[np.ndarray] = None,
     mu_grid: Optional[np.ndarray] = None,
     pad_x_multiple: int = 1,
+    pad_y_multiple: int = 1,
     fixes=None,
     absorb_planes: Tuple[str, ...] = (),
 ):
@@ -365,13 +383,18 @@ def build_structured_model(
     ``pad_x_multiple`` appends dead node planes along +X until (nx+1+pad) is
     a multiple — use the device-mesh size so the grid decomposes into even
     X-slabs (ops/structured_sharded.py exchanges one ghost plane per
-    neighbor per matvec over ICI).
+    neighbor per matvec over ICI).  ``pad_y_multiple`` does the same along
+    +Y for the second axis of a 2-D (X, Y) device mesh.
 
     Returns (model, external_force (3, X, Y, Z) f32 jnp array).
     """
     xs, ys, zs = nx + 1, ny + 1, nz + 1
     pad_planes = (-xs) % max(pad_x_multiple, 1)
     xs_pad = xs + pad_planes
+    pad_rows = (-ys) % max(pad_y_multiple, 1)
+    ys_pad = ys + pad_rows
+    # host-facing flat node order has NO dead Y rows (to_nodal slices them
+    # away before flattening), so position0/node prefixes stay X-pad-only
     n = xs_pad * ys * zs
     hx, hy, hz = spacing
 
@@ -408,6 +431,14 @@ def build_structured_model(
     if cell_pad:
         lam_grid = np.pad(lam_grid, ((0, cell_pad), (0, 0), (0, 0)))
         mu_grid = np.pad(mu_grid, ((0, cell_pad), (0, 0), (0, 0)))
+    if pad_y_multiple > 1:
+        # Y-pad cells to the padded NODE extent (2-D meshes only): a 2-D
+        # device mesh shards cell grids P(x_axis, y_axis), so the Y cell
+        # extent must divide npy even when the node rows already do
+        # (ys_pad is a multiple of npy and ys_pad > ny always)
+        cell_pad_y = ys_pad - ny
+        lam_grid = np.pad(lam_grid, ((0, 0), (0, cell_pad_y), (0, 0)))
+        mu_grid = np.pad(mu_grid, ((0, 0), (0, cell_pad_y), (0, 0)))
 
     # lumped mass: rho * V_cell / 8 scattered to the 8 corners (pad planes
     # carry no elements, hence no mass)
@@ -448,6 +479,16 @@ def build_structured_model(
     _, sl = _box_plane_slice(traction_plane, xs, (xs, ys, zs))
     force_grid[sl] = force_grid[sl] + share[..., None] * traction_vec
 
+    if pad_rows:
+        # dead +Y node rows: massless, fully constrained, zero force — the
+        # exact analogue of the +X dead planes, so a 2-D (X, Y) device mesh
+        # divides the grid evenly
+        yp = ((0, 0), (0, pad_rows), (0, 0))
+        mass_grid = np.pad(mass_grid, yp)
+        force_grid = np.pad(force_grid, yp + ((0, 0),))
+        bc_grid = np.pad(bc_grid, yp + ((0, 0),), constant_values=True)
+        bc_values = np.pad(bc_values, yp + ((0, 0),))
+
     model = StructuredModel(
         lam_grid=jnp.asarray(lam_grid),
         mu_grid=jnp.asarray(mu_grid),
@@ -463,6 +504,7 @@ def build_structured_model(
         node_count=xs * ys * zs,
         padded_node_count=n,
         pad_planes=pad_planes,
+        pad_rows=pad_rows,
         spacing=(float(hx), float(hy), float(hz)),
         homogeneous=homogeneous,
         lam0=lam0,

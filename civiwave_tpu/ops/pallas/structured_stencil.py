@@ -149,13 +149,29 @@ def interior_stencil_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _make_fused_body(tables, y: int, z: int, ny: int, nz: int):
+def _make_fused_body(
+    tables, y: int, z: int, ny: int, nz: int,
+    *, y_rows: tuple | None = None, ghost_y: bool = False,
+):
     """The COMPLETE K_eff for ONE output plane: given the three sanitized
     neighbor planes, the raw/free center plane and the (synthesized) mass
     plane, runs the interior taps, subtracts every boundary ghost
     correction (faces, edges, corners — the inclusion-exclusion tables of
     ADR-8), adds the mass term and emits the FINAL value
     ``bc ? x_raw : ss*(interior - corr) + mf*mass*xs``.
+
+    2-D (X, Y) decomposition support: ``y_rows=(rlo, rhi)`` overrides the
+    static global-face row positions (default ``(0, ny)``) with the LOCAL
+    plane-coordinate rows of the two global Y faces — STATIC ints, because
+    a uniform Y decomposition puts each global face at the same local row
+    on every shard; per-shard ownership arrives as the traced ``oy_lo``/
+    ``oy_hi`` 0/1 scalars multiplying the face/edge/corner terms (the
+    X-face trick of traced ``xlo/xhi`` indices, applied to Y as masks
+    because Y-face work runs every grid step, not under ``pl.when``).
+    ``ghost_y=True`` marks the plane's first/last rows as exchanged ghost
+    rows: outputs slice to the interior ``[1:-1]`` rows and face RMWs
+    shift by one row.  Defaults reproduce the single-chip/1-D-slab body
+    exactly (oy multipliers elided at trace time when ``None``).
 
     Two measured designs it folds (50.3M DOF on v5e, ADR-21):
 
@@ -182,8 +198,16 @@ def _make_fused_body(tables, y: int, z: int, ny: int, nz: int):
     """
     interior, faces, edges, corners = tables
     interior = np.asarray(interior, np.float64)
+    rlo, rhi = y_rows if y_rows is not None else (0, ny)
+    off = 1 if ghost_y else 0  # plane-row -> out-row shift
 
-    def body(out_ref, k, planes, raw0, free0, mass, ss, mf, io, xlo, xhi):
+    def isl(v):
+        """Interior-row slice of a (3, y, ...) plane value under ghost_y."""
+        return v[:, 1:-1] if ghost_y else v
+
+    def body(out_ref, k, planes, raw0, free0, mass, ss, mf, io, xlo, xhi,
+             oy_lo=None, oy_hi=None):
+        oy = {0: oy_lo, 1: oy_hi}
         row = jax.lax.broadcasted_iota(jnp.int32, (y, z), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (y, z), 1)
         row_cond = {-1: row >= 1, 1: row < y - 1}
@@ -230,12 +254,12 @@ def _make_fused_body(tables, y: int, z: int, ny: int, nz: int):
         out = ss * inter + (mf * mass) * xs0
         # identity rows: free==1 keeps out, free==0 passes raw input through
         f0 = free0
-        out_ref[:, k] = f0 * out + (1.0 - f0) * x_raw
+        out_ref[:, k] = isl(f0 * out + (1.0 - f0) * x_raw)
 
         # ---- y-face row corrections (axis=1) with their assigned z-edge
         # lines subtracted (inclusion-exclusion), every step ----
         colr = jax.lax.broadcasted_iota(jnp.int32, (1, z), 1)
-        for side, rpos in ((0, 0), (1, ny)):
+        for side, rpos in ((0, rlo), (1, rhi)):
             ftaps = np.asarray(faces[(1, side)], np.float64)  # (dxt,dzt,b,c)
             racc = [None, None, None]
             for dxt in range(3):
@@ -280,9 +304,12 @@ def _make_fused_body(tables, y: int, z: int, ny: int, nz: int):
                 r if r is not None else jnp.zeros((1, z), jnp.float32)
                 for r in racc
             ])  # (3, 1, z)
+            if oy[side] is not None:
+                corr = corr * oy[side]
             f0r = f0[:, rpos : rpos + 1, :]
-            cur = out_ref[:, k, rpos : rpos + 1, :]
-            out_ref[:, k, rpos : rpos + 1, :] = cur - ss * f0r * corr
+            ro = rpos - off
+            cur = out_ref[:, k, ro : ro + 1, :]
+            out_ref[:, k, ro : ro + 1, :] = cur - ss * f0r * corr
 
         # ---- z-face col corrections (axis=2; no edges fold here), every
         # step ----
@@ -319,7 +346,7 @@ def _make_fused_body(tables, y: int, z: int, ny: int, nz: int):
             ])  # (3, y, 1)
             f0c = f0[:, :, cpos : cpos + 1]
             cur = out_ref[:, k, :, cpos : cpos + 1]
-            out_ref[:, k, :, cpos : cpos + 1] = cur - ss * f0c * corr
+            out_ref[:, k, :, cpos : cpos + 1] = cur - ss * isl(f0c * corr)
 
         # ---- x-face corrections: only on the owning grid steps ----
         for side, face_idx in ((0, xlo), (1, xhi)):
@@ -361,7 +388,7 @@ def _make_fused_body(tables, y: int, z: int, ny: int, nz: int):
                 # along z; (0,side,2,s2) pinned z col, 1-D stencil along y
                 for s2 in (0, 1):
                     etaps = np.asarray(edges[(0, side, 1, s2)])  # (dzt,b,c)
-                    rpos = 0 if s2 == 0 else ny
+                    rpos = rlo if s2 == 0 else rhi
                     er = [None, None, None]
                     for c in range(3):
                         base = planes[0][c][rpos : rpos + 1, :]
@@ -387,8 +414,11 @@ def _make_fused_body(tables, y: int, z: int, ny: int, nz: int):
                     for b in range(3):
                         if er[b] is None:
                             continue
+                        ev = er[b]
+                        if oy[s2] is not None:  # x∩y edge owned with y face
+                            ev = ev * oy[s2]
                         corr[b] = corr[b] - jnp.where(
-                            row == rpos, er[b], 0.0
+                            row == rpos, ev, 0.0
                         )
                     etaps = np.asarray(edges[(0, side, 2, s2)])  # (dyt,b,c)
                     cpos = 0 if s2 == 0 else nz
@@ -425,7 +455,7 @@ def _make_fused_body(tables, y: int, z: int, ny: int, nz: int):
                     if sx != side:
                         continue
                     blk = np.asarray(ctaps)
-                    rpos = 0 if sy == 0 else ny
+                    rpos = rlo if sy == 0 else rhi
                     cpos = 0 if sz == 0 else nz
                     pt = jnp.logical_and(row == rpos, col == cpos)
                     for b in range(3):
@@ -438,14 +468,19 @@ def _make_fused_body(tables, y: int, z: int, ny: int, nz: int):
                             mv = term if mv is None else mv + term
                         if mv is None:
                             continue
+                        if oy[sy] is not None:  # corner owned with y face
+                            mv = mv * oy[sy]
                         corr[b] = corr[b] + jnp.where(pt, mv, 0.0)
                 corr = jnp.stack(corr)
-                out_ref[:, k] = out_ref[:, k] - ss * f0 * corr
+                out_ref[:, k] = out_ref[:, k] - ss * isl(f0 * corr)
 
     return body
 
 
-def _make_stream_kernel(tables, y: int, z: int, ny: int, nz: int):
+def _make_stream_kernel(
+    tables, y: int, z: int, ny: int, nz: int,
+    *, y_rows: tuple | None = None, ghost_y: bool = False,
+):
     """Single-input-stream driver around :func:`_make_fused_body`.
 
     The previous generation delivered each x plane through THREE window
@@ -464,10 +499,16 @@ def _make_stream_kernel(tables, y: int, z: int, ny: int, nz: int):
     commutes with f32 rounding).  Total HBM: x once + int8 bc once + out
     once (~452 MB at 50.3M DOF).
     """
-    body = _make_fused_body(tables, y, z, ny, nz)
+    body = _make_fused_body(tables, y, z, ny, nz, y_rows=y_rows,
+                            ghost_y=ghost_y)
+    rlo, rhi = y_rows if y_rows is not None else (0, ny)
 
-    def kernel(ss_ref, mf_ref, xlo_ref, xhi_ref, m8_ref, x_ref, bc_ref,
-               out_ref, san_m, san_0, raw_0, free_0):
+    def kernel(ss_ref, mf_ref, xlo_ref, xhi_ref, m8_ref, *rest):
+        if ghost_y:
+            (oylo_ref, oyhi_ref, x_ref, bc_ref, out_ref,
+             san_m, san_0, raw_0, free_0) = rest
+        else:
+            x_ref, bc_ref, out_ref, san_m, san_0, raw_0, free_0 = rest
         i = pl.program_id(0)
         new_raw = x_ref[:, 0]
         # constraint planes hold 0/1 int8 — Mosaic lacks i8 vector compares
@@ -489,12 +530,24 @@ def _make_stream_kernel(tables, y: int, z: int, ny: int, nz: int):
             # (layout.h bitwidth check aborts the compile)
             half, one = np.float32(0.5), np.float32(1.0)
             wx = jnp.where((io == xlo) | (io == xhi), half, one)
-            wy = jnp.where((row == 0) | (row == ny), half, one)
+            if ghost_y:
+                oy_lo, oy_hi = oylo_ref[0, 0], oyhi_ref[0, 0]
+                # the global Y faces sit at LOCAL plane rows rlo/rhi only
+                # on the shards that own them (oy_* = 1.0 there, 0.0 off)
+                on_face = jnp.logical_or(
+                    jnp.logical_and(row == rlo, oy_lo != 0.0),
+                    jnp.logical_and(row == rhi, oy_hi != 0.0),
+                )
+                wy = jnp.where(on_face, half, one)
+            else:
+                oy_lo = oy_hi = None
+                wy = jnp.where((row == 0) | (row == ny), half, one)
             wz = jnp.where((col == 0) | (col == nz), half, one)
             mass = ((m8_ref[0, 0] * wx) * wy) * wz
             body(
                 out_ref, 0, planes, raw_0[...], free_0[...], mass,
                 ss_ref[0, 0], mf_ref[0, 0], io, xlo, xhi,
+                oy_lo=oy_lo, oy_hi=oy_hi,
             )
 
         # rotate the window AFTER the compute consumed it
@@ -507,7 +560,8 @@ def _make_stream_kernel(tables, y: int, z: int, ny: int, nz: int):
 
 
 def _make_stream_kernel_blocked(
-    tables, block: int, y: int, z: int, ny: int, nz: int
+    tables, block: int, y: int, z: int, ny: int, nz: int,
+    *, y_rows: tuple | None = None, ghost_y: bool = False,
 ):
     """B-plane-block variant of :func:`_make_stream_kernel`.
 
@@ -522,10 +576,16 @@ def _make_stream_kernel_blocked(
     block only for k >= B-2 (which is why B >= 2 is required; B == 1 takes
     the lag-2 single-plane kernel).
     """
-    body = _make_fused_body(tables, y, z, ny, nz)
+    body = _make_fused_body(tables, y, z, ny, nz, y_rows=y_rows,
+                            ghost_y=ghost_y)
+    rlo, rhi = y_rows if y_rows is not None else (0, ny)
 
-    def kernel(ss_ref, mf_ref, xlo_ref, xhi_ref, m8_ref, x_ref, bc_ref,
-               out_ref, san_prev, raw_prev, free_prev):
+    def kernel(ss_ref, mf_ref, xlo_ref, xhi_ref, m8_ref, *rest):
+        if ghost_y:
+            (oylo_ref, oyhi_ref, x_ref, bc_ref, out_ref,
+             san_prev, raw_prev, free_prev) = rest
+        else:
+            x_ref, bc_ref, out_ref, san_prev, raw_prev, free_prev = rest
         i = pl.program_id(0)
         new_raw = x_ref[...]  # (3, B, y, z)
         new_free = 1.0 - bc_ref[...].astype(jnp.float32)
@@ -540,7 +600,16 @@ def _make_stream_kernel_blocked(
             row = jax.lax.broadcasted_iota(jnp.int32, (y, z), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (y, z), 1)
             half, one = np.float32(0.5), np.float32(1.0)
-            wy = jnp.where((row == 0) | (row == ny), half, one)
+            if ghost_y:
+                oy_lo, oy_hi = oylo_ref[0, 0], oyhi_ref[0, 0]
+                on_face = jnp.logical_or(
+                    jnp.logical_and(row == rlo, oy_lo != 0.0),
+                    jnp.logical_and(row == rhi, oy_hi != 0.0),
+                )
+                wy = jnp.where(on_face, half, one)
+            else:
+                oy_lo = oy_hi = None
+                wy = jnp.where((row == 0) | (row == ny), half, one)
             wz = jnp.where((col == 0) | (col == nz), half, one)
             wyz = wy * wz
             io_base = (i - 1) * block
@@ -565,7 +634,7 @@ def _make_stream_kernel_blocked(
                 wx = jnp.where((io == xlo) | (io == xhi), half, one)
                 mass = (m8_ref[0, 0] * wx) * wyz
                 body(out_ref, k, planes, raw0, free0, mass, ss, mf,
-                     io, xlo, xhi)
+                     io, xlo, xhi, oy_lo=oy_lo, oy_hi=oy_hi)
 
         san_prev[...] = new_san
         raw_prev[...] = new_raw
@@ -899,6 +968,7 @@ def _interior_mass(model) -> jax.Array:
 def apply_keff_fused_pallas_padded(
     x_pad: jax.Array, bc_pad: jax.Array, m8, stiffness_scale, mass_factor,
     tables, ny: int, nz: int, x_lo, x_hi, *, x_planes: int | None = None,
+    y_rows: tuple | None = None, oy_lo=None, oy_hi=None,
     interpret: bool = False
 ) -> jax.Array:
     """Core fused call on inputs that already carry one X halo plane per
@@ -911,8 +981,16 @@ def apply_keff_fused_pallas_padded(
 
     ``x_lo``/``x_hi`` are the LOCAL output-plane indices of the two global
     X faces (static ints single-chip; traced ``where(axis_index == owner,
-    local_plane, -1)`` per shard — -1 never matches a grid step)."""
+    local_plane, -1)`` per shard — -1 never matches a grid step).
+
+    2-D (X, Y) decomposition: pass ``y_rows=(rlo, rhi)`` — the static
+    LOCAL plane rows of the two global Y faces — plus traced ``oy_lo``/
+    ``oy_hi`` 0/1 ownership scalars.  The inputs then carry one exchanged
+    ghost ROW per side too (Y = local rows + 2) and the output drops them:
+    (3, X, Y - 2, Z)."""
     _, x_total, y, z = x_pad.shape
+    ghost_y = y_rows is not None
+    y_out = y - 2 if ghost_y else y
     if x_planes is None:
         x_planes = x_total - 2
     block = _pick_block(x_planes)
@@ -927,8 +1005,16 @@ def apply_keff_fused_pallas_padded(
     m8 = jnp.asarray(m8, jnp.float32).reshape(1, 1)
     xlo = jnp.asarray(x_lo, jnp.int32).reshape(1, 1)
     xhi = jnp.asarray(x_hi, jnp.int32).reshape(1, 1)
+    oy_args = ()
+    oy_specs = []
+    if ghost_y:
+        oy_args = (
+            jnp.asarray(oy_lo, jnp.float32).reshape(1, 1),
+            jnp.asarray(oy_hi, jnp.float32).reshape(1, 1),
+        )
+        oy_specs = [smem, smem]
     common = dict(
-        out_shape=jax.ShapeDtypeStruct((3, x_planes, y, z), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, x_planes, y_out, z), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=2 * x_pad.size * 4 + bc_pad.size,
@@ -944,7 +1030,9 @@ def apply_keff_fused_pallas_padded(
 
     if block > 1:
         n_blocks = x_planes // block
-        kernel = _make_stream_kernel_blocked(tables, block, y, z, ny, nz)
+        kernel = _make_stream_kernel_blocked(
+            tables, block, y, z, ny, nz, y_rows=y_rows, ghost_y=ghost_y
+        )
         blk_spec = pl.BlockSpec(
             (3, block, y, z),
             lambda i: (i * 0, i, i * 0, i * 0),
@@ -953,9 +1041,10 @@ def apply_keff_fused_pallas_padded(
         return pl.pallas_call(
             kernel,
             grid=(n_blocks + 1,),
-            in_specs=[smem, smem, smem, smem, smem, blk_spec, blk_spec],
+            in_specs=[smem, smem, smem, smem, smem, *oy_specs,
+                      blk_spec, blk_spec],
             out_specs=pl.BlockSpec(
-                (3, block, y, z),
+                (3, block, y_out, z),
                 # step 0 revisits block 0 (flushed only on index change,
                 # so the real write at step 1 lands before the flush)
                 lambda i: (i * 0, jnp.maximum(i - 1, i * 0), i * 0, i * 0),
@@ -967,9 +1056,10 @@ def apply_keff_fused_pallas_padded(
                 pltpu.VMEM((3, block, y, z), jnp.float32),  # free mask
             ],
             **common,
-        )(ss, mf, xlo, xhi, m8, x_pad, bc_pad)
+        )(ss, mf, xlo, xhi, m8, *oy_args, x_pad, bc_pad)
 
-    kernel = _make_stream_kernel(tables, y, z, ny, nz)
+    kernel = _make_stream_kernel(tables, y, z, ny, nz, y_rows=y_rows,
+                                 ghost_y=ghost_y)
     plane_spec = pl.BlockSpec(
         (3, 1, y, z),
         lambda i: (i * 0, i, i * 0, i * 0),
@@ -978,9 +1068,10 @@ def apply_keff_fused_pallas_padded(
     return pl.pallas_call(
         kernel,
         grid=(x_planes + 2,),
-        in_specs=[smem, smem, smem, smem, smem, plane_spec, plane_spec],
+        in_specs=[smem, smem, smem, smem, smem, *oy_specs,
+                  plane_spec, plane_spec],
         out_specs=pl.BlockSpec(
-            (3, 1, y, z),
+            (3, 1, y_out, z),
             # steps 0-2 revisit block 0 (flushed only on index change, so
             # the real write at step 2 lands before the flush)
             lambda i: (i * 0, jnp.maximum(i - 2, i * 0), i * 0, i * 0),
@@ -993,7 +1084,7 @@ def apply_keff_fused_pallas_padded(
             pltpu.VMEM((3, y, z), jnp.float32),  # free-mask plane i-1
         ],
         **common,
-    )(ss, mf, xlo, xhi, m8, x_pad, bc_pad)
+    )(ss, mf, xlo, xhi, m8, *oy_args, x_pad, bc_pad)
 
 
 # ---------------------------------------------------------------------------

@@ -64,6 +64,8 @@ def apply_keff_structured_sharded(
     sanitize -> interior stencil - boundary corrections -> scale -> mass
     term -> identity rows.
     """
+    if model.shard_axis_y is not None:
+        return _apply_keff_2d(model, x, stiffness_scale, mass_factor)
     mesh = model.shard_mesh
     ax = model.shard_axis
     n = int(mesh.shape[ax])
@@ -243,3 +245,159 @@ def _local_keff(
         out = out.at[:, lp].add(-ss * corr)
 
     return jnp.where(bc_loc, x_loc, out)
+
+
+# ---------------------------------------------------------------------------
+# 2-D (X, Y) slab decomposition
+# ---------------------------------------------------------------------------
+
+
+def _apply_keff_2d(
+    model: "StructuredModel", x: jax.Array, stiffness_scale, mass_factor
+) -> jax.Array:
+    """K_eff * x over a 2-D (X, Y) device mesh: shard_map + 4 ppermutes.
+
+    Halo protocol (per matvec, per array): exchange one ghost ROW per Y
+    neighbor first, then one ghost PLANE of the Y-extended array per X
+    neighbor — the X planes then carry the four corner values from the
+    diagonal neighbors through two ICI hops (the standard 2-hop diagonal
+    trick; no separate corner sends).  Global-end ghosts read ppermute's
+    zero fill = (x=0, free), a zero free ghost contributes zero taps —
+    identical to the single-chip implicit zero padding.
+
+    Per shard, the SAME fused Pallas slab kernel runs in ghost-Y mode
+    (``y_rows``/``oy_lo``/``oy_hi`` — see ``_make_fused_body``): the two
+    global Y faces sit at STATIC local plane rows (a uniform decomposition
+    puts them at the same row on every shard) and traced 0/1 ownership
+    scalars switch the face/edge/corner work off on non-owning shards.
+    The two global X faces keep the 1-D path's traced-index mechanism.
+
+    Grids too small for the kernel floors fall back to the GSPMD-
+    partitioned XLA stencil (shifted slices become implicit halo
+    exchanges) — correct at every size, slower only where slabs are tiny.
+    """
+    import dataclasses
+
+    mesh = model.shard_mesh
+    ax, ay = model.shard_axis, model.shard_axis_y
+    npx, npy = int(mesh.shape[ax]), int(mesh.shape[ay])
+    x_total = model.nx + 1 + model.pad_planes
+    y_total = model.ny + 1 + model.pad_rows
+    assert x_total % npx == 0, "X extent must divide the shard mesh"
+    assert y_total % npy == 0, "Y extent must divide the shard mesh"
+    x_local, y_local = x_total // npx, y_total // npy
+    tables = _stencil_tables(model.spacing, model.lam0, model.mu0)
+
+    local_nodes = x_local * y_local * (model.nz + 1)
+    plane_lanes = (y_local + 2) * (model.nz + 1)
+    use_kernel = x.dtype == jnp.float32 and (
+        model.pallas_interpret
+        or (
+            model.use_pallas
+            and jax.default_backend() == "tpu"
+            and local_nodes > _KERNEL_MIN_NODES
+            and plane_lanes >= _KERNEL_MIN_PLANE
+        )
+    )
+    if use_kernel:
+        from .pallas.structured_stencil import plane_fits
+
+        use_kernel = plane_fits(y_local + 2, model.nz + 1)
+    if not use_kernel:
+        # GSPMD fallback: the flat XLA stencil partitions under the input
+        # shardings without manual collectives (round-1 behavior)
+        from .structured import _apply_keff_structured_base
+
+        solo = dataclasses.replace(
+            model, shard_mesh=None, shard_axis_y=None, use_pallas=False
+        )
+        return _apply_keff_structured_base(
+            solo, x, stiffness_scale, mass_factor
+        )
+
+    from .pallas.structured_stencil import _interior_mass
+
+    def local_fn(x_loc, bc_loc, m8, ss, mf):
+        return _local_keff_2d(
+            x_loc, bc_loc, m8, ss, mf,
+            ax=ax, ay=ay, npx=npx, npy=npy,
+            x_local=x_local, y_local=y_local,
+            nx=model.nx, ny=model.ny, nz=model.nz,
+            tables=tables, interpret=model.pallas_interpret,
+        )
+
+    sharded = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, ax, ay), P(None, ax, ay), P(), P(), P()),
+        out_specs=P(None, ax, ay),
+        check_vma=False,
+    )
+    return sharded(
+        x,
+        model.bc_mask,
+        _interior_mass(model),
+        jnp.asarray(stiffness_scale, jnp.float32),
+        jnp.asarray(mass_factor, jnp.float32),
+    )
+
+
+def _exchange_ghosts_2d(x_loc, bc_i8, ax, ay, npx, npy):
+    """Ghost rows along Y, then ghost planes (Y-extended) along X."""
+    fwd_y = [(i, i + 1) for i in range(npy - 1)]
+    bwd_y = [(i + 1, i) for i in range(npy - 1)]
+    gy = lambda a, sl, pairs: jax.lax.ppermute(a[:, :, sl], ay, pairs)
+    x_y = jnp.concatenate(
+        [gy(x_loc, slice(-1, None), fwd_y), x_loc,
+         gy(x_loc, slice(None, 1), bwd_y)], axis=2)
+    b_y = jnp.concatenate(
+        [gy(bc_i8, slice(-1, None), fwd_y), bc_i8,
+         gy(bc_i8, slice(None, 1), bwd_y)], axis=2)
+    fwd_x = [(i, i + 1) for i in range(npx - 1)]
+    bwd_x = [(i + 1, i) for i in range(npx - 1)]
+    gx = lambda a, sl, pairs: jax.lax.ppermute(a[:, sl], ax, pairs)
+    x_pad = jnp.concatenate(
+        [gx(x_y, slice(-1, None), fwd_x), x_y,
+         gx(x_y, slice(None, 1), bwd_x)], axis=1)
+    bc_pad = jnp.concatenate(
+        [gx(b_y, slice(-1, None), fwd_x), b_y,
+         gx(b_y, slice(None, 1), bwd_x)], axis=1)
+    return x_pad, bc_pad
+
+
+def _local_keff_2d(
+    x_loc, bc_loc, m8, ss, mf, *,
+    ax, ay, npx, npy, x_local, y_local, nx, ny, nz, tables, interpret,
+):
+    """Shard-local K_eff on one ghost-padded (X, Y) tile (kernel only)."""
+    from .pallas.structured_stencil import (
+        apply_keff_fused_pallas_padded,
+        stream_pad_extra,
+    )
+
+    ix = jax.lax.axis_index(ax)
+    iy = jax.lax.axis_index(ay)
+    bc_i8 = bc_loc.astype(jnp.int8)
+    x_pad, bc_pad = _exchange_ghosts_2d(x_loc, bc_i8, ax, ay, npx, npy)
+
+    # global X faces: local output-plane index on the owner, -1 elsewhere
+    owner_x = nx // x_local
+    x_lo = jnp.where(ix == 0, 0, -1)
+    x_hi = jnp.where(ix == owner_x, nx - owner_x * x_local, -1)
+    # global Y faces: STATIC local plane rows + traced 0/1 ownership
+    owner_y = ny // y_local
+    rhi = ny - owner_y * y_local + 1  # +1: plane rows include the ghost
+    oy_lo = jnp.where(iy == 0, 1.0, 0.0).astype(jnp.float32)
+    oy_hi = jnp.where(iy == owner_y, 1.0, 0.0).astype(jnp.float32)
+
+    extra = stream_pad_extra(x_local)
+    if extra:
+        x_pad = jnp.pad(x_pad, ((0, 0), (0, extra), (0, 0), (0, 0)))
+        bc_pad = jnp.pad(
+            bc_pad, ((0, 0), (0, extra), (0, 0), (0, 0)), constant_values=1
+        )
+    return apply_keff_fused_pallas_padded(
+        x_pad, bc_pad, m8, ss, mf, tables, ny, nz, x_lo, x_hi,
+        x_planes=x_local, y_rows=(1, rhi), oy_lo=oy_lo, oy_hi=oy_hi,
+        interpret=interpret,
+    )

@@ -48,6 +48,24 @@ def make_device_mesh(n_devices: int | None = None, axis_name: str = "shard") -> 
     return Mesh(np.asarray(devices[:n_devices]), (axis_name,))
 
 
+def make_device_mesh_2d(
+    npx: int, npy: int, axis_names: Tuple[str, str] = ("shard", "shard_y")
+) -> Mesh:
+    """2-D (X, Y) device mesh over the first ``npx*npy`` visible devices.
+
+    The X axis varies slowest so X-neighbor halo planes (the big ones)
+    ride adjacent ICI links on a physically-ordered device list."""
+    devices = jax.devices()
+    need = npx * npy
+    if need > len(devices):
+        raise ShardError(
+            "requested more devices than visible",
+            [f"requested={need}", f"visible={len(devices)}"],
+        )
+    grid = np.asarray(devices[:need]).reshape(npx, npy)
+    return Mesh(grid, axis_names)
+
+
 def model_shardings(
     model: PackedModel, mesh: Mesh, axis_name: str = "shard"
 ) -> PackedModel:
@@ -91,7 +109,8 @@ def state_shardings(mesh: Mesh, axis_name: str = "shard") -> SimState:
 
 
 def shard_structured(model, state: SimState, external_force, mesh: Mesh,
-                     axis_name: str = "shard"):
+                     axis_name: str = "shard",
+                     axis_name_y: str | None = None):
     """Shard a StructuredModel simulation into X-slabs over ``mesh``.
 
     Solver vectors are component-separated ``(3, X, Y, Z)`` grids; sharding
@@ -99,18 +118,38 @@ def shard_structured(model, state: SimState, external_force, mesh: Mesh,
     X-slab decomposition, so GSPMD turns the stencil's shifted slices into
     neighbor halo exchanges (collective-permute of one (Y, Z) plane per step
     over ICI).  Material grids and the small host-facing tables replicate.
+
+    Passing ``axis_name_y`` (with a 2-D ``mesh`` carrying both axes, see
+    :func:`make_device_mesh_2d`) decomposes into (X, Y) tiles instead —
+    build with ``pad_x_multiple=npx, pad_y_multiple=npy``.  The matvec then
+    exchanges one ghost ROW per Y neighbor and one ghost PLANE per X
+    neighbor (ops/structured_sharded._apply_keff_2d); at pod scale this
+    beats thin 1-D slabs whose halo volume approaches slab volume.
     """
     import dataclasses
 
-    n = mesh.devices.size
-    if (model.nx + 1 + model.pad_planes) % n:
+    if axis_name_y is None and len(mesh.axis_names) == 2 and all(
+        a in mesh.axis_names for a in (axis_name, "shard_y")
+    ):
+        axis_name_y = "shard_y"  # a 2-D default mesh implies 2-D slabs
+    npx = int(mesh.shape[axis_name])
+    if (model.nx + 1 + model.pad_planes) % npx:
         raise ShardError(
             "grid X extent must divide the device mesh "
             "(build with pad_x_multiple=n_devices)",
-            [f"X={model.nx + 1 + model.pad_planes}", f"devices={n}"],
+            [f"X={model.nx + 1 + model.pad_planes}", f"devices={npx}"],
         )
-    vec = NamedSharding(mesh, P(None, axis_name))  # (3, X, Y, Z) X-slabs
-    grid = NamedSharding(mesh, P(axis_name))  # (X, Y, Z)
+    if axis_name_y is not None:
+        npy = int(mesh.shape[axis_name_y])
+        if (model.ny + 1 + model.pad_rows) % npy:
+            raise ShardError(
+                "grid Y extent must divide the device mesh "
+                "(build with pad_y_multiple=mesh.shape[axis_name_y])",
+                [f"Y={model.ny + 1 + model.pad_rows}", f"devices={npy}"],
+            )
+    yspec = axis_name_y  # None on 1-D meshes => replicated along Y
+    vec = NamedSharding(mesh, P(None, axis_name, yspec))  # (3, X, Y, Z)
+    grid = NamedSharding(mesh, P(axis_name, yspec))  # (X, Y, Z)
     rep = NamedSharding(mesh, P())
     # homogeneous grids run the explicit shard_map + ppermute halo operator
     # (ops/structured_sharded.py) so the fused Pallas slab kernel executes
@@ -123,7 +162,8 @@ def shard_structured(model, state: SimState, external_force, mesh: Mesh,
     # last shard internally; correctness is pinned by
     # tests/test_sharding.py::test_heterogeneous_structured_sharded.
     model = dataclasses.replace(
-        model, shard_mesh=mesh, shard_axis=axis_name
+        model, shard_mesh=mesh, shard_axis=axis_name,
+        shard_axis_y=axis_name_y,
     )
     m_shard = dataclasses.replace(
         model,

@@ -516,3 +516,179 @@ def test_absorbing_structured_sharded_matches_single_device(
     u1 = np.asarray(out_single.state.displacement)
     u8 = np.asarray(out_sharded.state.displacement)
     np.testing.assert_allclose(u8, u1, atol=1e-5 * (np.abs(u1).max() + 1e-30))
+
+
+# ---------------------------------------------------------------------------
+# 2-D (X, Y) slab decomposition (round-4 VERDICT item 3)
+# ---------------------------------------------------------------------------
+
+
+def _structured_fixture_2d(dims, npx, npy):
+    from civiwave_tpu.mesh.structured import build_structured_model
+    from civiwave_tpu.utils.synthetic import cantilever_config
+
+    cfg = cantilever_config()
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    ray = materials.compute_rayleigh(cfg.damping)
+    model, force = build_structured_model(
+        *dims, mats[0], cfg.materials[0].density,
+        traction=(0.0, 0.0, -1.0e6),
+        pad_x_multiple=npx, pad_y_multiple=npy,
+    )
+    return model, force, ray
+
+
+@pytest.mark.parametrize("use_kernel", [False, True])
+@pytest.mark.parametrize(
+    "dims,grid",
+    # (9,4,5) x (2,4): ys=5 on 4 shards -> pad_rows=3 (dead +Y rows)
+    [((6, 5, 4), (4, 2)), ((9, 4, 5), (2, 4)), ((7, 7, 3), (2, 2))],
+)
+def test_structured_2d_operator_matches_unsharded(
+    eight_device_mesh, use_kernel, dims, grid
+):
+    """The 2-D (X, Y) shard_map operator — ghost ROWS along Y, ghost
+    PLANES along X carrying the corner values through two hops — must
+    equal the single-device operator elementwise on the live region, for
+    both the ghost-Y fused Pallas kernel (interpret mode) and the GSPMD
+    fallback, including dead +Y pad rows."""
+    import dataclasses
+
+    from civiwave_tpu.mesh.structured import build_structured_model
+    from civiwave_tpu.parallel.sharding import (
+        make_device_mesh_2d,
+        shard_structured,
+    )
+    from civiwave_tpu.utils.synthetic import cantilever_config
+
+    npx, npy = grid
+    model, force, _ = _structured_fixture_2d(dims, npx, npy)
+
+    # unpadded single-chip reference
+    cfg = cantilever_config()
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    ref_model, _rf = build_structured_model(
+        *dims, mats[0], cfg.materials[0].density,
+        traction=(0.0, 0.0, -1.0e6),
+    )
+    rng = np.random.default_rng(3)
+    x_ref = jnp.asarray(
+        rng.standard_normal((3,) + ref_model.grid_shape), jnp.float32
+    )
+    gx, gy, gz = model.grid_shape
+    x_pad = jnp.zeros((3, gx, gy, gz), jnp.float32)
+    x_pad = x_pad.at[:, : x_ref.shape[1], : x_ref.shape[2]].set(x_ref)
+
+    ss, mf = jnp.float32(1.01), jnp.float32(3.7)
+    ref = jax.jit(lambda m, v: m.apply_keff(v, ss, mf))(ref_model, x_ref)
+
+    mesh = make_device_mesh_2d(npx, npy)
+    s_model, _, _ = shard_structured(
+        model, model.zero_state(), force, mesh, axis_name_y="shard_y"
+    )
+    assert s_model.shard_axis_y == "shard_y"
+    if use_kernel:
+        s_model = dataclasses.replace(s_model, pallas_interpret=True)
+    xs = jax.device_put(
+        x_pad,
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "shard", "shard_y")
+        ),
+    )
+    out = jax.jit(lambda m, v: m.apply_keff(v, ss, mf))(s_model, xs)
+    scale = float(jnp.abs(ref).max()) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(out)[:, : x_ref.shape[1], : x_ref.shape[2]],
+        np.asarray(ref),
+        atol=1e-5 * scale,
+    )
+
+
+@pytest.mark.slow
+def test_structured_2d_step_matches_single_device(eight_device_mesh):
+    """Full Newmark step over a (4, 2) device mesh with the ghost-Y fused
+    kernel per shard (interpret mode) vs the single-device step."""
+    import dataclasses
+
+    from civiwave_tpu.parallel.sharding import (
+        make_device_mesh_2d,
+        shard_structured,
+    )
+
+    model, force, ray = _structured_fixture_2d((7, 5, 6), 4, 2)
+    state = model.zero_state()
+
+    def step(m, s, f):
+        return newmark_step(
+            m, s, f, 0.001, 1.0e-7, 500,
+            rayleigh_alpha=ray.alpha, rayleigh_beta=ray.beta,
+        )
+
+    out_single = jax.jit(step)(model, state, force)
+    mesh = make_device_mesh_2d(4, 2)
+    s_model, s_state, s_force = shard_structured(
+        model, state, force, mesh, axis_name_y="shard_y"
+    )
+    s_model = dataclasses.replace(s_model, pallas_interpret=True)
+    out_sharded = jax.jit(step)(s_model, s_state, s_force)
+    assert bool(out_sharded.pcg.converged)
+    u1 = np.asarray(out_single.state.displacement)
+    u8 = np.asarray(out_sharded.state.displacement)
+    np.testing.assert_allclose(u8, u1, atol=1e-5 * (np.abs(u1).max() + 1e-30))
+
+
+@pytest.mark.slow
+def test_structured_2d_collective_counts(eight_device_mesh):
+    """Compiler-verified 2-D halo budget: the fused variant keeps its ONE
+    f64 (3,) all-reduce and issues exactly FOUR collective-permutes per
+    PCG iteration (2 ghost rows along Y, then 2 Y-extended ghost planes
+    along X whose ends carry the diagonal-corner values through two
+    hops).  The loop-invariant bc-mask exchange hoists out of the while
+    body, exactly as in the 1-D budget test.
+
+    pallas_interpret forces the ghost-Y kernel path (the production TPU
+    form) — without it CPU compiles the GSPMD fallback, whose implicit
+    halo exchanges are correct but not the explicit 4-permute budget."""
+    import dataclasses
+
+    from civiwave_tpu.parallel.sharding import (
+        make_device_mesh_2d,
+        shard_structured,
+    )
+    from civiwave_tpu.solver.stepper import effective_scalars
+
+    model, force, ray = _structured_fixture_2d((15, 8, 8), 4, 2)
+    state = model.zero_state()
+    mesh = make_device_mesh_2d(4, 2)
+    s_model, s_state, s_force = shard_structured(
+        model, state, force, mesh, axis_name_y="shard_y"
+    )
+    s_model = dataclasses.replace(s_model, pallas_interpret=True)
+    ss, mf = effective_scalars(1e-3, ray.alpha, ray.beta)
+    pc = jax.jit(lambda m, a, b: m.build_preconditioner(a, b))(s_model, ss, mf)
+    step = jax.jit(
+        partial(
+            newmark_step,
+            rayleigh_alpha=ray.alpha,
+            rayleigh_beta=ray.beta,
+            solver_variant="fused",
+        )
+    )
+    hlo = (
+        step.lower(s_model, s_state, s_force, 1e-3, 2e-4, 120, preconditioner=pc)
+        .compile()
+        .as_text()
+    )
+    fused = pcg_body_collectives(hlo)
+    ar = sum(n for (op, _), n in fused.items() if op == "all-reduce")
+    cp = sum(n for (op, _), n in fused.items() if op == "collective-permute")
+    # the ONE logical (3,) f64 reduction lowers dimension-wise over the
+    # 2-D mesh: one all-reduce per mesh axis (the standard torus
+    # algorithm GSPMD picks) — 2 AR ops, still a single reduction point
+    assert ar == 2, f"expected 2 axis-wise all-reduce ops: {fused}"
+    assert all(
+        "f64[3]" in shape
+        for (op, shape) in fused
+        if op == "all-reduce"
+    ), f"expected f64[3] axis-wise all-reduces: {fused}"
+    assert cp == 4, f"expected 4 halo permutes on a 2-D mesh: {fused}"
