@@ -122,6 +122,87 @@ def apply_keff_structured_sharded(
     )
 
 
+def _overlap_enabled() -> bool:
+    """Interior/boundary kernel split on the 1-D halo path (ADR-28).
+    CIVIWAVE_HALO_OVERLAP=0/1 overrides; default on for slabs with
+    interior planes (x_local >= 4)."""
+    import os
+
+    env = os.environ.get("CIVIWAVE_HALO_OVERLAP", "auto")
+    if env in ("0", "1"):
+        return env == "1"
+    return True
+
+
+def _local_keff_overlap(
+    x_loc, bc_i8, x_pad, bc_pad, m8, ss, mf, tables, ny, nz, *,
+    idx, x_local, nx, interpret,
+):
+    """Shard-local K_eff split into ghost-free interior + 2 boundary planes.
+
+    Three calls to the SAME fused slab kernel with identical per-plane
+    math (bitwise: the kernel body is plane-local given its three input
+    planes):
+
+    * interior — local planes [1, x_local-2], whose one-plane halo is the
+      slab's own planes 0 / x_local-1; consumes NO exchanged ghosts
+      (built from the PRE-exchange ``x_loc``/``bc_i8``, so there is no
+      structural data dependency on the ppermutes at all — not even a
+      concat-slice pair for the simplifier to clean up);
+    * two boundary planes (0 and x_local-1), each a 3-input-plane
+      single-output-plane call reading one exchanged ghost.
+
+    The global X faces keep the traced local-output-index mechanism; the
+    face index shifts by the sub-call's plane offset (interior output k
+    is local plane k+1).
+    """
+    from .pallas.structured_stencil import (
+        apply_keff_fused_pallas_padded,
+        stream_pad_extra,
+    )
+
+    owner_hi = nx // x_local
+    f_hi = nx - owner_hi * x_local  # static local plane of the +X face
+
+    # interior: input is the raw local slab (ghost-free)
+    x_int = x_loc
+    bc_int = bc_i8
+    n_int = x_local - 2
+    hi_int = f_hi - 1 if 1 <= f_hi <= x_local - 2 else -1
+    xlo_i = jnp.int32(-1)  # the global -X face is local plane 0 (boundary)
+    xhi_i = jnp.where(idx == owner_hi, hi_int, -1)
+    extra = stream_pad_extra(n_int)
+    if extra:
+        x_int = jnp.pad(x_int, ((0, 0), (0, extra), (0, 0), (0, 0)))
+        bc_int = jnp.pad(
+            bc_int, ((0, 0), (0, extra), (0, 0), (0, 0)), constant_values=1
+        )
+    out_int = apply_keff_fused_pallas_padded(
+        x_int, bc_int, m8, ss, mf, tables, ny, nz, xlo_i, xhi_i,
+        x_planes=n_int, interpret=interpret,
+    )
+
+    # boundary plane 0: [ghost_lo, p0, p1]
+    xlo_b0 = jnp.where(idx == 0, 0, -1)
+    xhi_b0 = jnp.where(idx == owner_hi, 0 if f_hi == 0 else -1, -1)
+    out_b0 = apply_keff_fused_pallas_padded(
+        x_pad[:, 0:3], bc_pad[:, 0:3], m8, ss, mf, tables, ny, nz,
+        xlo_b0, xhi_b0, x_planes=1, interpret=interpret,
+    )
+    # boundary plane x_local-1: [p_{n-2}, p_{n-1}, ghost_hi]
+    xlo_b1 = jnp.int32(-1)  # x_local >= 4, so plane 0 is never here
+    xhi_b1 = jnp.where(
+        idx == owner_hi, 0 if f_hi == x_local - 1 else -1, -1
+    )
+    out_b1 = apply_keff_fused_pallas_padded(
+        x_pad[:, x_local - 1 : x_local + 2],
+        bc_pad[:, x_local - 1 : x_local + 2],
+        m8, ss, mf, tables, ny, nz, xlo_b1, xhi_b1, x_planes=1,
+        interpret=interpret,
+    )
+    return jnp.concatenate([out_b0, out_int, out_b1], axis=1)
+
+
 def _exchange_ghost_planes(x_loc, bc_i8, axis_name: str, n_shards: int):
     """One raw x plane + one int8 constraint plane to/from each X neighbor.
 
@@ -157,6 +238,19 @@ def _local_keff(
             apply_keff_fused_pallas_padded,
             stream_pad_extra,
         )
+
+        if _overlap_enabled() and x_local >= 4:
+            # halo/compute overlap: the interior planes never read the
+            # exchanged ghosts, so splitting them into their own kernel
+            # call removes the data dependency between the ppermutes and
+            # the bulk of the stencil — XLA's latency-hiding scheduler can
+            # then run the ghost exchange concurrently with the interior
+            # kernel, leaving only the two single-plane boundary calls on
+            # the collective's critical path (ADR-28).
+            return _local_keff_overlap(
+                x_loc, bc_i8, x_pad, bc_pad, m8, ss, mf, tables, ny, nz,
+                idx=idx, x_local=x_local, nx=nx, interpret=interpret,
+            )
 
         # the kernel IS the complete operator (interior + every boundary
         # correction + mass + identity rows).  The two global X faces are
