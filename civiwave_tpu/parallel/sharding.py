@@ -54,7 +54,15 @@ def make_device_mesh_2d(
     """2-D (X, Y) device mesh over the first ``npx*npy`` visible devices.
 
     The X axis varies slowest so X-neighbor halo planes (the big ones)
-    ride adjacent ICI links on a physically-ordered device list."""
+    ride adjacent ICI links on a physically-ordered device list.
+
+    Multi-slice (DCN-connected) topologies: when the visible devices span
+    multiple slices and the slice count divides ``npx``, the mesh is laid
+    out hybrid — the X axis strides ACROSS slices so only the two ghost
+    planes at each slice boundary cross DCN per matvec, while all Y ghost
+    rows and every other X exchange stay on ICI (the scaling-book recipe:
+    put the least-frequent/most-contiguous axis on the slow network).
+    Single-slice (and CPU-virtual) topologies take the flat layout."""
     devices = jax.devices()
     need = npx * npy
     if need > len(devices):
@@ -62,6 +70,20 @@ def make_device_mesh_2d(
             "requested more devices than visible",
             [f"requested={need}", f"visible={len(devices)}"],
         )
+    slices = sorted({getattr(d, "slice_index", 0) for d in devices[:need]})
+    n_slices = len(slices)
+    if n_slices > 1 and npx % n_slices == 0:
+        try:
+            from jax.experimental import mesh_utils
+
+            grid = mesh_utils.create_hybrid_device_mesh(
+                (npx // n_slices, npy),
+                (n_slices, 1),
+                devices=devices[:need],
+            )
+            return Mesh(grid, axis_names)
+        except Exception:  # noqa: BLE001 — fall back to the flat layout
+            pass
     grid = np.asarray(devices[:need]).reshape(npx, npy)
     return Mesh(grid, axis_names)
 
