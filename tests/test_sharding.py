@@ -733,3 +733,52 @@ def test_structured_2d_collective_counts(eight_device_mesh):
         if op == "all-reduce"
     ), f"expected f64[3] axis-wise all-reduces: {fused}"
     assert cp == 4, f"expected 4 halo permutes on a 2-D mesh: {fused}"
+
+
+@pytest.mark.slow
+def test_pipelined_variant_2d_matches_classic_single_device(
+    eight_device_mesh,
+):
+    """Pipelined (Ghysels-Vanroose) variant over the 2-D (X, Y) mesh vs
+    classic single-device: same trajectory over 2 Newmark steps — the
+    basin feature stack (pipelined + 2-D decomposition) composes."""
+    import dataclasses
+
+    from civiwave_tpu.parallel.sharding import (
+        make_device_mesh_2d,
+        shard_structured,
+    )
+
+    model, force, ray = _structured_fixture_2d((7, 5, 6), 4, 2)
+    state = model.zero_state()
+
+    def make_step(variant):
+        return jax.jit(
+            partial(
+                newmark_step,
+                rayleigh_alpha=ray.alpha,
+                rayleigh_beta=ray.beta,
+                solver_variant=variant,
+            )
+        )
+
+    classic_step = make_step("classic")
+    pipelined_step = make_step("pipelined")
+    mesh = make_device_mesh_2d(4, 2)
+    s_model, s_state, s_force = shard_structured(
+        model, state, force, mesh, axis_name_y="shard_y"
+    )
+    s_model = dataclasses.replace(s_model, pallas_interpret=True)
+    ref_state = state
+    for _ in range(2):
+        out_ref = classic_step(model, ref_state, force, 1e-3, 2e-4, 120)
+        ref_state = out_ref.state
+        out_sharded = pipelined_step(
+            s_model, s_state, s_force, 1e-3, 2e-4, 120
+        )
+        s_state = out_sharded.state
+        assert bool(out_sharded.pcg.converged)
+    got = np.asarray(s_state.displacement)
+    ref = np.asarray(ref_state.displacement)
+    scale = np.abs(ref).max() + 1e-30
+    np.testing.assert_allclose(got, ref, atol=2e-4 * scale)
