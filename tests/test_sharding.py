@@ -782,3 +782,54 @@ def test_pipelined_variant_2d_matches_classic_single_device(
     ref = np.asarray(ref_state.displacement)
     scale = np.abs(ref).max() + 1e-30
     np.testing.assert_allclose(got, ref, atol=2e-4 * scale)
+
+
+@pytest.mark.slow
+def test_heterogeneous_structured_2d_matches_single_device(
+    eight_device_mesh,
+):
+    """Heterogeneous material grids on a 2-D (X, Y) device mesh: cell
+    grids shard P(x, y) (Y-padded to the node extent), the GSPMD
+    corner-gather operator handles both element-view halos, and the
+    sharded step matches the single-device one."""
+    from civiwave_tpu.mesh.structured import build_structured_model
+    from civiwave_tpu.parallel.sharding import (
+        make_device_mesh_2d,
+        shard_structured,
+    )
+    from civiwave_tpu.utils.synthetic import cantilever_config
+
+    cfg = cantilever_config()
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    ray = materials.compute_rayleigh(cfg.damping)
+    nx, ny, nz = 7, 4, 5  # ys=5 on npy=2 -> pad_rows=1 (dead Y row)
+    rng = np.random.default_rng(23)
+    lam0, mu0 = mats[0].lame.lam, mats[0].lame.mu
+    model, force = build_structured_model(
+        nx, ny, nz, mats[0], cfg.materials[0].density,
+        traction=(0.0, 0.0, -1.0e6),
+        pad_x_multiple=4, pad_y_multiple=2,
+        lam_grid=lam0 * (1.0 + rng.uniform(0.0, 1.0, (nx, ny, nz))),
+        mu_grid=mu0 * (1.0 + rng.uniform(0.0, 1.0, (nx, ny, nz))),
+    )
+    assert not model.homogeneous and model.pad_rows == 1
+    state = model.zero_state()
+
+    def step(m, s, f):
+        return newmark_step(
+            m, s, f, 0.001, 1.0e-7, 500,
+            rayleigh_alpha=ray.alpha, rayleigh_beta=ray.beta,
+        )
+
+    out_single = jax.jit(step)(model, state, force)
+    mesh = make_device_mesh_2d(4, 2)
+    s_model, s_state, s_force = shard_structured(
+        model, state, force, mesh, axis_name_y="shard_y"
+    )
+    assert len(s_model.lam_grid.sharding.device_set) == 8
+    assert not s_model.lam_grid.sharding.is_fully_replicated
+    out_sharded = jax.jit(step)(s_model, s_state, s_force)
+    assert bool(out_sharded.pcg.converged)
+    u1 = np.asarray(out_single.state.displacement)
+    u8 = np.asarray(out_sharded.state.displacement)
+    np.testing.assert_allclose(u8, u1, atol=1e-5 * (np.abs(u1).max() + 1e-30))
