@@ -7,9 +7,9 @@ stiffness matvec (apply_keff) throughput on a hex8 cantilever, measured as
 DOFs processed per second across repeated matvecs chained inside one jitted
 fori_loop (no per-iteration host dispatch).  Default mesh: 255^3 cells =
 50.3M DOF — the north-star scale demonstration (BASELINE.md targets a
-50M-DOF basin on v5p-32; the flattened-lane stencil runs it on ONE v5e) —
-where per-chip throughput peaks (v5e: 0.97 GDOF/s at 945k DOF, 1.58 at
-4.5M, 2.48 at 50M).
+50M-DOF basin on v5p-32; the fused slab kernel runs it on ONE v5e) —
+where per-chip throughput peaks (v5e round-4: 0.91 GDOF/s at 945k DOF,
+3.0 at 4.56M, 11.2 at 50.3M).
 
 vs_baseline: the reference publishes no measured numbers (BASELINE.md); its
 spec targets 10-30 Hz interactive stepping at 50k-150k DOFs with a 120-
