@@ -833,3 +833,48 @@ def test_heterogeneous_structured_2d_matches_single_device(
     u1 = np.asarray(out_single.state.displacement)
     u8 = np.asarray(out_sharded.state.displacement)
     np.testing.assert_allclose(u8, u1, atol=1e-5 * (np.abs(u1).max() + 1e-30))
+
+
+@pytest.mark.slow
+def test_absorbing_structured_2d_matches_single_device(eight_device_mesh):
+    """Lysmer-Kuhlemeyer dashpots under the 2-D (X, Y) decomposition: the
+    face-plane operator updates ride OUTSIDE shard_map on the GSPMD
+    arrays with P(x, y) shardings, so the basin feature stack must
+    reproduce the single-device trajectory on the 2-D mesh too."""
+    import dataclasses
+
+    from civiwave_tpu.mesh.structured import build_structured_model
+    from civiwave_tpu.parallel.sharding import (
+        make_device_mesh_2d,
+        shard_structured,
+    )
+    from civiwave_tpu.utils.synthetic import cantilever_config
+
+    cfg = cantilever_config()
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    ray = materials.compute_rayleigh(cfg.damping)
+    model, force = build_structured_model(
+        7, 5, 4, mats[0], cfg.materials[0].density,
+        traction=(0.0, 0.0, -1.0e6), pad_x_multiple=4, pad_y_multiple=2,
+        absorb_planes=("x1", "y0", "y1", "z0"),
+    )
+    state = model.zero_state()
+
+    def step(m, s, f):
+        return newmark_step(
+            m, s, f, 0.001, 1.0e-7, 500,
+            rayleigh_alpha=ray.alpha, rayleigh_beta=ray.beta,
+        )
+
+    out_single = jax.jit(step)(model, state, force)
+    mesh = make_device_mesh_2d(4, 2)
+    s_model, s_state, s_force = shard_structured(
+        model, state, force, mesh, axis_name_y="shard_y"
+    )
+    assert s_model.absorb_faces == ("x1", "y0", "y1", "z0")
+    s_model = dataclasses.replace(s_model, pallas_interpret=True)
+    out_sharded = jax.jit(step)(s_model, s_state, s_force)
+    assert bool(out_sharded.pcg.converged)
+    u1 = np.asarray(out_single.state.displacement)
+    u8 = np.asarray(out_sharded.state.displacement)
+    np.testing.assert_allclose(u8, u1, atol=1e-5 * (np.abs(u1).max() + 1e-30))
