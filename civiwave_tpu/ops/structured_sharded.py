@@ -382,14 +382,20 @@ def _apply_keff_2d(
     x_local, y_local = x_total // npx, y_total // npy
     tables = _stencil_tables(model.spacing, model.lam0, model.mu0)
 
-    local_nodes = x_local * y_local * (model.nz + 1)
+    # NO local-node floor here, unlike the 1-D path: the 2-D mesh's whole
+    # regime is pod scale, where local tiles are small by construction
+    # (~109k nodes at the 150^3-on-32-chips north star) and the only
+    # alternative is the GSPMD-partitioned stencil, whose implicit halo
+    # lowering issues an order of magnitude more collectives per matvec
+    # than the explicit 4-permute protocol.  The plane floor stays: Mosaic
+    # lowering of very thin (y_local+2, nz+1) planes is unproven on
+    # hardware (the 1-D path's XLA local form has no 2-D counterpart).
     plane_lanes = (y_local + 2) * (model.nz + 1)
     use_kernel = x.dtype == jnp.float32 and (
         model.pallas_interpret
         or (
             model.use_pallas
             and jax.default_backend() == "tpu"
-            and local_nodes > _KERNEL_MIN_NODES
             and plane_lanes >= _KERNEL_MIN_PLANE
         )
     )
