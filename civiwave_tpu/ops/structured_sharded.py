@@ -446,7 +446,10 @@ def _exchange_ghosts_2d(x_loc, bc_i8, ax, ay, npx, npy):
     """Ghost rows along Y, then ghost planes (Y-extended) along X."""
     fwd_y = [(i, i + 1) for i in range(npy - 1)]
     bwd_y = [(i + 1, i) for i in range(npy - 1)]
-    gy = lambda a, sl, pairs: jax.lax.ppermute(a[:, :, sl], ay, pairs)
+
+    def gy(a, sl, pairs):
+        return jax.lax.ppermute(a[:, :, sl], ay, pairs)
+
     x_y = jnp.concatenate(
         [gy(x_loc, slice(-1, None), fwd_y), x_loc,
          gy(x_loc, slice(None, 1), bwd_y)], axis=2)
@@ -455,7 +458,10 @@ def _exchange_ghosts_2d(x_loc, bc_i8, ax, ay, npx, npy):
          gy(bc_i8, slice(None, 1), bwd_y)], axis=2)
     fwd_x = [(i, i + 1) for i in range(npx - 1)]
     bwd_x = [(i + 1, i) for i in range(npx - 1)]
-    gx = lambda a, sl, pairs: jax.lax.ppermute(a[:, sl], ax, pairs)
+
+    def gx(a, sl, pairs):
+        return jax.lax.ppermute(a[:, sl], ax, pairs)
+
     x_pad = jnp.concatenate(
         [gx(x_y, slice(-1, None), fwd_x), x_y,
          gx(x_y, slice(None, 1), bwd_x)], axis=1)

@@ -57,7 +57,6 @@ def test_checkpoint_sharded_2d_roundtrip(tmp_path):
     from functools import partial
 
     import jax
-    import jax.numpy as jnp
 
     from civiwave_tpu.mesh.structured import build_structured_model
     from civiwave_tpu.parallel.sharding import (
