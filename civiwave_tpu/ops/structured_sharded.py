@@ -36,7 +36,6 @@ from typing import TYPE_CHECKING
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from .structured import (
@@ -136,7 +135,7 @@ def _overlap_enabled() -> bool:
 
 def _local_keff_overlap(
     x_loc, bc_i8, x_pad, bc_pad, m8, ss, mf, tables, ny, nz, *,
-    idx, x_local, nx, interpret,
+    idx, x_local, nx, interpret, ykw=None,
 ):
     """Shard-local K_eff split into ghost-free interior + 2 boundary planes.
 
@@ -155,7 +154,16 @@ def _local_keff_overlap(
     The global X faces keep the traced local-output-index mechanism; the
     face index shifts by the sub-call's plane offset (interior output k
     is local plane k+1).
+
+    2-D (X, Y) decomposition reuses this split verbatim: ``ykw`` carries
+    the ghost-Y kernel parameters (``y_rows``/``oy_lo``/``oy_hi``), which
+    are plane-position-invariant — Y-face rows sit at the same LOCAL row
+    in every sub-call — and the "pre-exchange" inputs are the Y-extended
+    (but X-unexchanged) arrays, so the interior sweep depends only on the
+    Y ghost-row permutes while the X plane permutes (and the 2-hop corner
+    relay riding them) overlap with it.
     """
+    ykw = ykw or {}
     from .pallas.structured_stencil import (
         apply_keff_fused_pallas_padded,
         stream_pad_extra,
@@ -179,7 +187,7 @@ def _local_keff_overlap(
         )
     out_int = apply_keff_fused_pallas_padded(
         x_int, bc_int, m8, ss, mf, tables, ny, nz, xlo_i, xhi_i,
-        x_planes=n_int, interpret=interpret,
+        x_planes=n_int, interpret=interpret, **ykw,
     )
 
     # boundary plane 0: [ghost_lo, p0, p1]
@@ -187,7 +195,7 @@ def _local_keff_overlap(
     xhi_b0 = jnp.where(idx == owner_hi, 0 if f_hi == 0 else -1, -1)
     out_b0 = apply_keff_fused_pallas_padded(
         x_pad[:, 0:3], bc_pad[:, 0:3], m8, ss, mf, tables, ny, nz,
-        xlo_b0, xhi_b0, x_planes=1, interpret=interpret,
+        xlo_b0, xhi_b0, x_planes=1, interpret=interpret, **ykw,
     )
     # boundary plane x_local-1: [p_{n-2}, p_{n-1}, ghost_hi]
     xlo_b1 = jnp.int32(-1)  # x_local >= 4, so plane 0 is never here
@@ -198,7 +206,7 @@ def _local_keff_overlap(
         x_pad[:, x_local - 1 : x_local + 2],
         bc_pad[:, x_local - 1 : x_local + 2],
         m8, ss, mf, tables, ny, nz, xlo_b1, xhi_b1, x_planes=1,
-        interpret=interpret,
+        interpret=interpret, **ykw,
     )
     return jnp.concatenate([out_b0, out_int, out_b1], axis=1)
 
@@ -443,7 +451,12 @@ def _apply_keff_2d(
 
 
 def _exchange_ghosts_2d(x_loc, bc_i8, ax, ay, npx, npy):
-    """Ghost rows along Y, then ghost planes (Y-extended) along X."""
+    """Ghost rows along Y, then ghost planes (Y-extended) along X.
+
+    Also returns the Y-extended-only intermediates: the overlap split's
+    interior sweep consumes them directly, so it depends on the 2 Y
+    row-permutes but NOT on the 2 X plane-permutes (ADR-28 on 2-D).
+    """
     fwd_y = [(i, i + 1) for i in range(npy - 1)]
     bwd_y = [(i + 1, i) for i in range(npy - 1)]
 
@@ -468,7 +481,7 @@ def _exchange_ghosts_2d(x_loc, bc_i8, ax, ay, npx, npy):
     bc_pad = jnp.concatenate(
         [gx(b_y, slice(-1, None), fwd_x), b_y,
          gx(b_y, slice(None, 1), bwd_x)], axis=1)
-    return x_pad, bc_pad
+    return x_pad, bc_pad, x_y, b_y
 
 
 def _local_keff_2d(
@@ -484,18 +497,34 @@ def _local_keff_2d(
     ix = jax.lax.axis_index(ax)
     iy = jax.lax.axis_index(ay)
     bc_i8 = bc_loc.astype(jnp.int8)
-    x_pad, bc_pad = _exchange_ghosts_2d(x_loc, bc_i8, ax, ay, npx, npy)
+    x_pad, bc_pad, x_y, b_y = _exchange_ghosts_2d(
+        x_loc, bc_i8, ax, ay, npx, npy
+    )
+
+    # global Y faces: STATIC local plane rows + traced 0/1 ownership
+    owner_y = ny // y_local
+    rhi = ny - owner_y * y_local + 1  # +1: plane rows include the ghost
+    ykw = dict(
+        y_rows=(1, rhi),
+        oy_lo=jnp.where(iy == 0, 1.0, 0.0).astype(jnp.float32),
+        oy_hi=jnp.where(iy == owner_y, 1.0, 0.0).astype(jnp.float32),
+    )
+
+    if _overlap_enabled() and x_local >= 4:
+        # halo/compute overlap (ADR-28, 2-D form): the interior planes
+        # read only the Y-extended pre-X-exchange tile, so the 2 X plane
+        # permutes (the larger of the 4 sends, and the ones carrying the
+        # 2-hop corner relay) run concurrently with the interior sweep;
+        # only the two single-plane boundary calls wait on them.
+        return _local_keff_overlap(
+            x_y, b_y, x_pad, bc_pad, m8, ss, mf, tables, ny, nz,
+            idx=ix, x_local=x_local, nx=nx, interpret=interpret, ykw=ykw,
+        )
 
     # global X faces: local output-plane index on the owner, -1 elsewhere
     owner_x = nx // x_local
     x_lo = jnp.where(ix == 0, 0, -1)
     x_hi = jnp.where(ix == owner_x, nx - owner_x * x_local, -1)
-    # global Y faces: STATIC local plane rows + traced 0/1 ownership
-    owner_y = ny // y_local
-    rhi = ny - owner_y * y_local + 1  # +1: plane rows include the ghost
-    oy_lo = jnp.where(iy == 0, 1.0, 0.0).astype(jnp.float32)
-    oy_hi = jnp.where(iy == owner_y, 1.0, 0.0).astype(jnp.float32)
-
     extra = stream_pad_extra(x_local)
     if extra:
         x_pad = jnp.pad(x_pad, ((0, 0), (0, extra), (0, 0), (0, 0)))
@@ -504,6 +533,5 @@ def _local_keff_2d(
         )
     return apply_keff_fused_pallas_padded(
         x_pad, bc_pad, m8, ss, mf, tables, ny, nz, x_lo, x_hi,
-        x_planes=x_local, y_rows=(1, rhi), oy_lo=oy_lo, oy_hi=oy_hi,
-        interpret=interpret,
+        x_planes=x_local, interpret=interpret, **ykw,
     )

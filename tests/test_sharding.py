@@ -645,6 +645,71 @@ def test_structured_2d_operator_matches_unsharded(
     )
 
 
+def test_halo_overlap_split_2d_matches_single_kernel(
+    eight_device_mesh, monkeypatch
+):
+    """ADR-28 on the 2-D mesh: the interior/boundary split — interior
+    planes reading the Y-extended pre-X-exchange tile so the X plane
+    permutes overlap the interior sweep — reproduces the single-kernel
+    ghost-Y form to f32 rounding (same dz-roll grouping caveat as 1-D),
+    and both match the unsharded operator at 1e-5."""
+    import dataclasses
+
+    from civiwave_tpu.mesh.structured import build_structured_model
+    from civiwave_tpu.parallel.sharding import (
+        make_device_mesh_2d,
+        shard_structured,
+    )
+    from civiwave_tpu.utils.synthetic import cantilever_config
+
+    dims, npx, npy = (15, 7, 4), 4, 2
+    model, force, _ = _structured_fixture_2d(dims, npx, npy)
+    cfg = cantilever_config()
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    ref_model, _rf = build_structured_model(
+        *dims, mats[0], cfg.materials[0].density,
+        traction=(0.0, 0.0, -1.0e6),
+    )
+    rng = np.random.default_rng(29)
+    x_ref = jnp.asarray(
+        rng.standard_normal((3,) + ref_model.grid_shape), jnp.float32
+    )
+    gx, gy, gz = model.grid_shape
+    x_pad = jnp.zeros((3, gx, gy, gz), jnp.float32)
+    x_pad = x_pad.at[:, : x_ref.shape[1], : x_ref.shape[2]].set(x_ref)
+    ss, mf = jnp.float32(1.01), jnp.float32(3.7)
+    ref = jax.jit(lambda m, v: m.apply_keff(v, ss, mf))(ref_model, x_ref)
+
+    mesh = make_device_mesh_2d(npx, npy)
+    s_model, _, _ = shard_structured(
+        model, model.zero_state(), force, mesh, axis_name_y="shard_y"
+    )
+    s_model = dataclasses.replace(s_model, pallas_interpret=True)
+    # x_local = 4: the split engages under the default/auto policy
+    assert (model.nx + 1 + model.pad_planes) // npx == 4
+    xs = jax.device_put(
+        x_pad,
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, "shard", "shard_y")
+        ),
+    )
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("CIVIWAVE_HALO_OVERLAP", flag)
+        outs[flag] = np.asarray(
+            jax.jit(lambda m, v: m.apply_keff(v, ss, mf))(s_model, xs)
+        )
+    scale = np.abs(outs["0"]).max() + 1e-30
+    np.testing.assert_allclose(outs["1"], outs["0"], atol=1e-6 * scale)
+    ref_scale = float(jnp.abs(ref).max()) + 1e-30
+    for flag in ("0", "1"):
+        np.testing.assert_allclose(
+            outs[flag][:, : x_ref.shape[1], : x_ref.shape[2]],
+            np.asarray(ref),
+            atol=1e-5 * ref_scale,
+        )
+
+
 @pytest.mark.slow
 def test_structured_2d_step_matches_single_device(eight_device_mesh):
     """Full Newmark step over a (4, 2) device mesh with the ghost-Y fused

@@ -1,0 +1,307 @@
+"""Viewer camera/picking math contract (ui/viewer.html).
+
+No JS runtime exists in this environment (no node/deno, no browser), so
+the 386-line WebGL2 front-end cannot be executed under pytest.  What CAN
+be verified headless:
+
+* a numpy MIRROR of the three pure-math pieces — the perspective matrix,
+  the lookAt view matrix, and the Ctrl+click pick projection (nearest
+  projected vertex in NDC, viewer.cpp Ctrl+click parity) — checked
+  against geometric invariants (center maps to the view axis, projected
+  depth ordering, pick round-trip recovers the clicked vertex);
+* source pinning: the exact JS formula lines being mirrored are asserted
+  to be present in viewer.html VERBATIM, so any edit to either side
+  fails this test and forces the two to be updated together.
+
+This is the strongest coverage available without a JS engine; the wire
+protocol (mesh blob, solve round-trip, overlay payload) is execution-
+tested in test_viewer.py against a live served instance.
+"""
+
+from pathlib import Path
+
+import numpy as np
+
+_HTML = (
+    Path(__file__).resolve().parents[1]
+    / "civiwave_tpu" / "ui" / "viewer.html"
+).read_text()
+
+
+# ---------------------------------------------------------------------------
+# numpy mirrors of the JS functions (viewer.html lines cited per function)
+# ---------------------------------------------------------------------------
+
+
+def perspective(fov, asp, near, far):
+    """Mirror of viewer.html `perspective` (column-major, OpenGL clip)."""
+    f = 1.0 / np.tan(fov / 2)
+    nf = 1.0 / (near - far)
+    return np.array(
+        [f / asp, 0, 0, 0,
+         0, f, 0, 0,
+         0, 0, (far + near) * nf, -1,
+         0, 0, 2 * far * near * nf, 0],
+        dtype=np.float64,
+    )
+
+
+def mat_mul(a, b):
+    """Mirror of viewer.html `mul` (column-major 4x4)."""
+    o = np.zeros(16)
+    for i in range(4):
+        for j in range(4):
+            for k in range(4):
+                o[j * 4 + i] += a[k * 4 + i] * b[j * 4 + k]
+    return o
+
+
+def look_at(eye, at, up):
+    """Mirror of viewer.html `lookAt`."""
+    eye, at, up = map(np.asarray, (eye, at, up))
+    z = eye - at
+    z = z / np.linalg.norm(z)
+    x = np.cross(up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.array(
+        [x[0], y[0], z[0], 0,
+         x[1], y[1], z[1], 0,
+         x[2], y[2], z[2], 0,
+         -x @ eye, -y @ eye, -z @ eye, 1],
+        dtype=np.float64,
+    )
+
+
+def camera_mvp(center, radius, cam, width, height):
+    """Mirror of viewer.html `cameraMVP` (orbit camera, +Z up)."""
+    eye = np.array(
+        [center[0] + cam["pan"][0]
+         + cam["dist"] * radius * np.cos(cam["phi"]) * np.cos(cam["theta"]),
+         center[1] + cam["pan"][1]
+         + cam["dist"] * radius * np.cos(cam["phi"]) * np.sin(cam["theta"]),
+         center[2] + cam["pan"][2]
+         + cam["dist"] * radius * np.sin(cam["phi"])]
+    )
+    at = np.array(
+        [center[0] + cam["pan"][0], center[1] + cam["pan"][1],
+         center[2] + cam["pan"][2]]
+    )
+    proj = perspective(0.9, width / height, 0.01 * radius, 100 * radius)
+    return mat_mul(proj, look_at(eye, at, np.array([0.0, 0.0, 1.0]))), eye, at
+
+
+def project_ndc(mvp, p):
+    """Mirror of the pick() projection: clip-space x/y over w."""
+    cx = mvp[0] * p[0] + mvp[4] * p[1] + mvp[8] * p[2] + mvp[12]
+    cy = mvp[1] * p[0] + mvp[5] * p[1] + mvp[9] * p[2] + mvp[13]
+    cw = mvp[3] * p[0] + mvp[7] * p[1] + mvp[11] * p[2] + mvp[15]
+    return cx / cw, cy / cw, cw
+
+
+def pick(mvp, positions, mx, my, best_d=0.03):
+    """Mirror of viewer.html `pick` (nearest projected vertex in NDC)."""
+    best = -1
+    for i in range(len(positions)):
+        cx, cy, cw = project_ndc(mvp, positions[i])
+        if cw <= 0:
+            continue
+        d = np.hypot(cx - mx, cy - my)
+        if d < best_d:
+            best_d, best = d, i
+    return best
+
+
+def direction(yaw_deg, pitch_deg):
+    """Mirror of viewer.html `direction` (yaw/pitch to unit vector)."""
+    yaw = yaw_deg * np.pi / 180
+    pitch = pitch_deg * np.pi / 180
+    return np.array(
+        [np.cos(pitch) * np.cos(yaw), np.cos(pitch) * np.sin(yaw),
+         np.sin(pitch)]
+    )
+
+
+# ---------------------------------------------------------------------------
+# source pinning: the mirrored JS lines must exist verbatim
+# ---------------------------------------------------------------------------
+
+_PINNED_JS = [
+    # perspective
+    "const f = 1/Math.tan(fov/2), nf = 1/(near-far);",
+    "return [f/asp,0,0,0, 0,f,0,0, 0,0,(far+near)*nf,-1, 0,0,2*far*near*nf,0];",
+    # mul
+    "o[j*4+i] += a[k*4+i]*b[j*4+k];",
+    # lookAt
+    "const z=norm(sub(eye,at)), x=norm(cross(up,z)), y=cross(z,x);",
+    "-dot(x,eye),-dot(y,eye),-dot(z,eye),1];",
+    # cameraMVP orbit eye + projection params
+    "center[0]+cam.pan[0]+cam.dist*radius*Math.cos(cam.phi)*Math.cos(cam.theta),",
+    "center[2]+cam.pan[2]+cam.dist*radius*Math.sin(cam.phi)]",
+    "perspective(0.9, canvas.width/canvas.height, 0.01*radius, 100*radius)",
+    "mul(proj, lookAt(eye, at, [0,0,1]))",
+    # pick projection + NDC mouse mapping + threshold
+    "const cx = mvp[0]*p[0]+mvp[4]*p[1]+mvp[8]*p[2]+mvp[12];",
+    "const cw = mvp[3]*p[0]+mvp[7]*p[1]+mvp[11]*p[2]+mvp[15];",
+    "const mx = (e.clientX-rect.left)/rect.width*2-1;",
+    "const my = 1-(e.clientY-rect.top)/rect.height*2;",
+    "let best = -1, bestd = 0.03;",
+    "const d = Math.hypot(cx/cw-mx, cy/cw-my);",
+    # direction (yaw/pitch)
+    "return [Math.cos(pitch)*Math.cos(yaw), Math.cos(pitch)*Math.sin(yaw),",
+    # orbit/zoom/pan increments
+    "cam.theta -= dx*0.008;",
+    "cam.phi = Math.max(-1.5, Math.min(1.5, cam.phi + dy*0.008));",
+    "cam.dist = Math.max(0.3, Math.min(20, cam.dist*Math.exp(e.deltaY*0.001)));",
+    "const s = 0.002*cam.dist*radius;",
+]
+
+
+def test_pinned_js_formulas_present():
+    for line in _PINNED_JS:
+        assert line in _HTML, f"viewer.html no longer contains: {line!r}"
+
+
+# ---------------------------------------------------------------------------
+# invariants of the mirrored math
+# ---------------------------------------------------------------------------
+
+
+def _default_cam():
+    return {"theta": 0.8, "phi": 0.5, "dist": 3.0, "pan": [0.0, 0.0, 0.0]}
+
+
+def test_camera_center_projects_to_screen_origin():
+    """The orbit target (center+pan) lies on the view axis: NDC (0, 0)."""
+    center, radius = np.array([2.0, -1.0, 3.0]), 4.0
+    for theta, phi, pan in [
+        (0.8, 0.5, [0, 0, 0]),
+        (-2.1, -1.2, [0.5, -0.3, 1.0]),
+        (3.0, 0.0, [0, 2.0, 0]),
+    ]:
+        cam = {"theta": theta, "phi": phi, "dist": 3.0, "pan": pan}
+        mvp, eye, at = camera_mvp(center, radius, cam, 800, 600)
+        cx, cy, cw = project_ndc(mvp, at)
+        assert cw > 0
+        assert abs(cx) < 1e-9 and abs(cy) < 1e-9
+        # the eye sits dist*radius from the target
+        np.testing.assert_allclose(
+            np.linalg.norm(eye - at), 3.0 * radius, rtol=1e-12
+        )
+
+
+def test_camera_depth_ordering_and_clip():
+    """Points nearer the eye get larger w; points behind the eye get
+    cw <= 0 and are skipped by pick()."""
+    center, radius = np.zeros(3), 1.0
+    cam = _default_cam()
+    mvp, eye, at = camera_mvp(center, radius, cam, 800, 600)
+    view_dir = (at - eye) / np.linalg.norm(at - eye)
+    near_pt = eye + 0.5 * view_dir
+    far_pt = eye + 5.0 * view_dir
+    behind = eye - 1.0 * view_dir
+    _, _, w_near = project_ndc(mvp, near_pt)
+    _, _, w_far = project_ndc(mvp, far_pt)
+    _, _, w_behind = project_ndc(mvp, behind)
+    # column-major OpenGL convention: w = -z_view = distance along view dir
+    assert 0 < w_near < w_far
+    assert w_behind < 0
+
+
+def test_pick_roundtrip_recovers_vertex():
+    """Projecting a vertex and clicking exactly there picks that vertex —
+    and an empty click region (far from all vertices) picks none."""
+    rng = np.random.default_rng(5)
+    positions = rng.uniform(-1, 1, (200, 3))
+    center = positions.mean(axis=0)
+    radius = float(np.ptp(positions, axis=0).max())
+    cam = _default_cam()
+    mvp, _, _ = camera_mvp(center, radius, cam, 800, 600)
+    for i in (0, 57, 199):
+        cx, cy, cw = project_ndc(mvp, positions[i])
+        assert cw > 0
+        j = pick(mvp, positions, cx, cy)
+        # nearest-in-NDC: the clicked vertex wins unless another vertex
+        # projects within float distance 0 of it (not the case here)
+        assert j == i
+    assert pick(mvp, positions, 5.0, 5.0) == -1  # off-screen click
+
+
+def test_pick_ignores_vertices_behind_eye():
+    """A vertex behind the camera must never be picked even if its
+    (meaningless) projected coordinates land near the click."""
+    cam = _default_cam()
+    center, radius = np.zeros(3), 1.0
+    mvp, eye, at = camera_mvp(center, radius, cam, 800, 600)
+    view_dir = (at - eye) / np.linalg.norm(at - eye)
+    vis = eye + 2.0 * view_dir
+    behind = eye - 2.0 * view_dir
+    positions = np.stack([vis, behind])
+    cx, cy, _ = project_ndc(mvp, vis)
+    assert pick(mvp, positions, cx, cy) == 0
+
+
+def test_direction_unit_vector_and_poles():
+    """direction() is always unit length; pitch=-90 is straight down
+    (the panel default used for the basin load)."""
+    for yaw, pitch in [(0, 0), (45, 30), (-120, -60), (180, 89)]:
+        d = direction(yaw, pitch)
+        np.testing.assert_allclose(np.linalg.norm(d), 1.0, rtol=1e-12)
+    np.testing.assert_allclose(
+        direction(0.0, -90.0), [0.0, 0.0, -1.0], atol=1e-12
+    )
+    np.testing.assert_allclose(direction(90.0, 0.0), [0, 1, 0], atol=1e-12)
+
+
+def test_orbit_and_zoom_increments_behave():
+    """The JS event-handler increments (pinned above): phi clamps to
+    [-1.5, 1.5] (no gimbal flip), zoom clamps to [0.3, 20] and is
+    multiplicative in wheel delta."""
+    phi = 1.49
+    for _ in range(10):  # repeated upward drags
+        phi = max(-1.5, min(1.5, phi + 20 * 0.008))
+    assert phi == 1.5
+    dist = 19.0
+    for _ in range(20):  # repeated zoom-outs
+        dist = max(0.3, min(20, dist * np.exp(120 * 0.001)))
+    assert dist == 20.0
+    dist = 0.4
+    for _ in range(50):
+        dist = max(0.3, min(20, dist * np.exp(-120 * 0.001)))
+    assert dist == 0.3
+
+
+def test_perspective_matrix_invariants():
+    """Standard OpenGL perspective: near plane maps to z/w = -1, far to
+    +1, on-axis points stay on-axis, aspect scales x only."""
+    near, far = 0.04, 400.0
+    m = perspective(0.9, 4 / 3, near, far)
+
+    def clip(p):
+        x = m[0] * p[0] + m[4] * p[1] + m[8] * p[2] + m[12]
+        y = m[1] * p[0] + m[5] * p[1] + m[9] * p[2] + m[13]
+        z = m[2] * p[0] + m[6] * p[1] + m[10] * p[2] + m[14]
+        w = m[3] * p[0] + m[7] * p[1] + m[11] * p[2] + m[15]
+        return x, y, z, w
+
+    # view space looks down -Z
+    _, _, z, w = clip((0, 0, -near))
+    np.testing.assert_allclose(z / w, -1.0, rtol=1e-12)
+    _, _, z, w = clip((0, 0, -far))
+    np.testing.assert_allclose(z / w, 1.0, rtol=1e-9)
+    x, y, _, w = clip((0, 0, -1.0))
+    assert x == 0 and y == 0 and w > 0
+    # wider aspect shrinks NDC x for the same point
+    m_wide = perspective(0.9, 16 / 9, near, far)
+    x1 = m[0] * 1.0
+    x2 = m_wide[0] * 1.0
+    assert x2 < x1
+
+
+def test_mat_mul_matches_numpy_column_major():
+    rng = np.random.default_rng(11)
+    a, b = rng.standard_normal(16), rng.standard_normal(16)
+    got = mat_mul(a, b).reshape(4, 4)
+    want = (a.reshape(4, 4, order="F") @ b.reshape(4, 4, order="F"))
+    np.testing.assert_allclose(got, want.flatten(order="F").reshape(4, 4),
+                               rtol=1e-12)
