@@ -304,6 +304,75 @@ def main() -> None:
             )
             print(json.dumps(row))
 
+    # ---- general (unstructured) path: banded halo vs pure GSPMD ---------
+    # The reference's actual input format is unstructured Gmsh meshes; the
+    # banded halo plan (parallel/general_halo.py, ADR-30) bounds its
+    # per-iteration communication at 2 (G, 3)-row permutes.  Emit the
+    # compiler-counted budget next to the GSPMD form it replaces.
+    from civiwave_tpu.mesh import pack as pack_mod
+    from civiwave_tpu.mesh import preprocess as pre_mod
+    from civiwave_tpu.parallel.collectives import (
+        pcg_body_collectives,
+        summarize,
+    )
+    from civiwave_tpu.parallel.sharding import shard_simulation
+    from civiwave_tpu.utils.synthetic import box_mesh
+
+    gsize = os.environ.get("CIVIWAVE_MC_GENERAL_SIZE", "24,6,6")
+    gx, gy, gz = (int(s) for s in gsize.split(","))
+    gmesh = box_mesh(gx, gy, gz, hex_elements=True)
+    gpre = pre_mod.run(gmesh, cfg)
+    pad = 8 * max(shard_counts)
+    gmodel, gstate, gforce = pack_mod.build_packed_model(
+        gmesh, gpre, cfg, mats, pad_nodes=pad, pad_elems=pad
+    )
+    for n_shards in [n for n in shard_counts if n > 1]:
+        mesh = make_device_mesh(n_shards)
+        for halo in (True, False):
+            os.environ["CIVIWAVE_GENERAL_HALO"] = "1" if halo else "0"
+            s_model, s_state, s_force = shard_simulation(
+                gmodel, gstate, gforce, mesh
+            )
+            if halo and s_model.halo_conn is None:
+                log(f"[general {n_shards}] halo plan unavailable; skipping")
+                continue
+            pc = jax.jit(lambda m, a, b: m.build_preconditioner(a, b))(
+                s_model, ss, mf
+            )
+            step = jax.jit(
+                partial(
+                    newmark_step,
+                    rayleigh_alpha=ray.alpha,
+                    rayleigh_beta=ray.beta,
+                    solver_variant="fused",
+                )
+            )
+            t0 = time.perf_counter()
+            compiled = step.lower(
+                s_model, s_state, s_force, 1e-3, 2e-4, 120,
+                preconditioner=pc,
+            ).compile()
+            compile_s = time.perf_counter() - t0
+            totals = summarize(pcg_body_collectives(compiled.as_text()))
+            row = {
+                "metric": "multichip_general_collectives",
+                "shards": n_shards,
+                "path": "halo" if halo else "gspmd",
+                "all_reduce_per_iter": totals.get("all-reduce", 0),
+                "permute_per_iter": totals.get("collective-permute", 0),
+                "all_gather_per_iter": totals.get("all-gather", 0),
+                "ghost_rows": int(s_model.halo_ghost) if halo else None,
+                "backend": backend,
+            }
+            log(
+                f"[general {n_shards} shard(s), {row['path']}] "
+                f"compile {compile_s:.1f}s; AR={row['all_reduce_per_iter']} "
+                f"CP={row['permute_per_iter']} "
+                f"AG={row['all_gather_per_iter']} per iteration"
+            )
+            print(json.dumps(row))
+    os.environ.pop("CIVIWAVE_GENERAL_HALO", None)
+
 
 if __name__ == "__main__":
     main()

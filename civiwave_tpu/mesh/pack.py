@@ -239,6 +239,19 @@ class PackedModel:
     # the stepper injects per step (K_eff += a1 C) — None outside a step.
     damp_blocks: Optional[jax.Array] = None
     damp_factor: Optional[jax.Array] = None
+    # banded halo-exchange tables (parallel/general_halo.py; attached by
+    # shard_simulation when the mesh is plannable, None on single-chip
+    # models).  Element tables are per-shard padded copies with LOCAL
+    # node indices; the CSR covers L+G rows per shard over local force
+    # rows.  The GSPMD tables above stay resident for the preconditioner
+    # build and fallback paths.
+    halo_conn: Optional[jax.Array] = None  # (S*E_s, nl) int32 local
+    halo_grads: Optional[jax.Array] = None  # tet (4,3,S*E_s) / hex gp-major
+    halo_vol: Optional[jax.Array] = None  # (S*E_s,) / (8, S*E_s)
+    halo_lam: Optional[jax.Array] = None  # (S*E_s,)
+    halo_mu: Optional[jax.Array] = None  # (S*E_s,)
+    halo_csr_idx: Optional[jax.Array] = None  # (S*(L+G), D) int32 local
+    halo_csr_weight: Optional[jax.Array] = None  # (S*(L+G), D) f32
     # static metadata
     node_count: int = field(metadata=dict(static=True), default=0)
     padded_node_count: int = field(metadata=dict(static=True), default=0)
@@ -259,6 +272,16 @@ class PackedModel:
     # assembly windows ((n_start, n_count, e_lo, e_count), ...) — planned
     # only for single-element-type meshes (rows of one block)
     aw: tuple = field(metadata=dict(static=True), default=())
+    # halo-plan statics (parallel/general_halo.py; shard_mesh mirrors the
+    # StructuredModel pattern — the Mesh handle rides the treedef)
+    shard_mesh: Optional[object] = field(
+        metadata=dict(static=True), default=None
+    )
+    shard_axis: str = field(metadata=dict(static=True), default="shard")
+    halo_block: str = field(metadata=dict(static=True), default="")
+    halo_local_nodes: int = field(metadata=dict(static=True), default=0)
+    halo_ghost: int = field(metadata=dict(static=True), default=0)
+    halo_elems: int = field(metadata=dict(static=True), default=0)
 
     @property
     def dof_count(self) -> int:
@@ -299,6 +322,12 @@ class PackedModel:
         )
 
     def apply_keff(self, x, stiffness_scale, mass_factor):
+        if self.halo_conn is not None and self.shard_mesh is not None:
+            from ..ops.general_sharded import apply_keff_general_sharded
+
+            return apply_keff_general_sharded(
+                self, x, stiffness_scale, mass_factor
+            )
         from ..ops import apply_keff as _ops
 
         return _ops.apply_keff(self, x, stiffness_scale, mass_factor)

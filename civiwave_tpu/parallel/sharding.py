@@ -97,8 +97,30 @@ def model_shardings(
 
     row = NamedSharding(mesh, P(axis_name))  # shard leading axis
     rep = NamedSharding(mesh, P())  # replicate
+    extra = {}
+    if model.damp_blocks is not None:
+        extra["damp_blocks"] = row
+    if model.halo_conn is not None:
+        # halo tables shard their per-shard-stacked axis (trailing for the
+        # transposed gradient/volume streams)
+        tet = model.halo_block == "tet"
+        extra.update(
+            halo_conn=row,
+            halo_grads=NamedSharding(
+                mesh,
+                P(None, None, axis_name)
+                if tet
+                else P(None, None, None, axis_name),
+            ),
+            halo_vol=row if tet else NamedSharding(mesh, P(None, axis_name)),
+            halo_lam=row,
+            halo_mu=row,
+            halo_csr_idx=row,
+            halo_csr_weight=row,
+        )
     return dataclasses.replace(
         model,
+        **extra,
         conn_tet=row,
         # node-major transposed tet table shards its trailing element axis
         grads_tet=NamedSharding(mesh, P(None, None, axis_name)),
@@ -232,6 +254,40 @@ def shard_simulation(
                 f"devices={n}",
             ],
         )
+    # Attach the banded halo-exchange plan when the mesh admits one
+    # (single element type, bandwidth <= one node block): the matvec then
+    # runs shard-locally with 2 small ppermutes instead of GSPMD's
+    # implicit full-vector all-gathers (parallel/general_halo.py).
+    # CIVIWAVE_GENERAL_HALO=0 forces pure GSPMD (A/B + fallback).
+    import dataclasses
+    import os
+
+    if n > 1 and os.environ.get("CIVIWAVE_GENERAL_HALO", "auto") != "0":
+        # (n == 1 keeps the single-chip path with its ADR-20 banded
+        # windows — the halo tables would shadow them for no benefit)
+        from .general_halo import plan_general_halo
+
+        plan = plan_general_halo(model, n)
+        if plan is not None:
+            import jax.numpy as jnp
+
+            model = dataclasses.replace(
+                model,
+                shard_mesh=mesh,
+                shard_axis=axis_name,
+                halo_block=plan["halo_block"],
+                halo_local_nodes=plan["halo_local_nodes"],
+                halo_ghost=plan["halo_ghost"],
+                halo_elems=plan["halo_elems"],
+                halo_conn=jnp.asarray(plan["halo_conn"]),
+                halo_grads=jnp.asarray(plan["halo_grads"]),
+                halo_vol=jnp.asarray(plan["halo_vol"]),
+                halo_lam=jnp.asarray(plan["halo_lam"]),
+                halo_mu=jnp.asarray(plan["halo_mu"]),
+                halo_csr_idx=jnp.asarray(plan["halo_csr_idx"]),
+                halo_csr_weight=jnp.asarray(plan["halo_csr_weight"]),
+            )
+
     m_shard = model_shardings(model, mesh, axis_name)
     s_shard = state_shardings(mesh, axis_name)
     row = NamedSharding(mesh, P(axis_name))

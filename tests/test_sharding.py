@@ -943,3 +943,135 @@ def test_absorbing_structured_2d_matches_single_device(eight_device_mesh):
     u1 = np.asarray(out_single.state.displacement)
     u8 = np.asarray(out_sharded.state.displacement)
     np.testing.assert_allclose(u8, u1, atol=1e-5 * (np.abs(u1).max() + 1e-30))
+
+
+# ---------------------------------------------------------------------------
+# general-path banded halo exchange (parallel/general_halo.py, ADR-30)
+# ---------------------------------------------------------------------------
+
+
+def _general_fixture(dims, hex_elements, pad=64):
+    from civiwave_tpu.utils.synthetic import box_mesh, cantilever_config
+
+    mesh = box_mesh(*dims, hex_elements=hex_elements)
+    cfg = cantilever_config()
+    pre = preprocess.run(mesh, cfg)
+    mats = [materials.make_properties(m) for m in cfg.materials]
+    ray = materials.compute_rayleigh(cfg.damping)
+    model, state, force = pack.build_packed_model(
+        mesh, pre, cfg, mats, pad_nodes=pad, pad_elems=pad
+    )
+    return model, state, force, ray
+
+
+@pytest.mark.parametrize(
+    "dims,hex_elements",
+    [((24, 3, 3), True), ((20, 4, 3), False)],
+)
+def test_general_halo_operator_matches_unsharded(
+    eight_device_mesh, dims, hex_elements
+):
+    """The banded halo-exchange matvec (2 ppermutes, per-shard element
+    and assembly tables with LOCAL indices) equals the single-device
+    operator elementwise, for both element blocks."""
+    model, state, force, _ = _general_fixture(dims, hex_elements)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(
+        rng.standard_normal((model.padded_node_count, 3)), jnp.float32
+    )
+    ss, mf = jnp.float32(1.01), jnp.float32(3.7)
+    ref = jax.jit(lambda m, v: m.apply_keff(v, ss, mf))(model, x)
+
+    s_model, _, _ = shard_simulation(model, state, force, eight_device_mesh)
+    assert s_model.halo_conn is not None, "plan should engage on this mesh"
+    assert s_model.halo_ghost <= s_model.halo_local_nodes
+    xs = jax.device_put(
+        x,
+        jax.sharding.NamedSharding(
+            eight_device_mesh, jax.sharding.PartitionSpec("shard")
+        ),
+    )
+    out = jax.jit(lambda m, v: m.apply_keff(v, ss, mf))(s_model, xs)
+    scale = float(jnp.abs(ref).max()) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5 * scale
+    )
+
+
+def test_general_halo_step_matches_single_device(eight_device_mesh):
+    """Full Newmark step through the halo-exchange operator vs the
+    single-device step (the dots/axpys/preconditioner stay GSPMD around
+    the shard_map matvec)."""
+    model, state, force, ray = _general_fixture((24, 3, 3), True)
+
+    def step(m, s, f):
+        return newmark_step(
+            m, s, f, 0.001, 1.0e-7, 500,
+            rayleigh_alpha=ray.alpha, rayleigh_beta=ray.beta,
+        )
+
+    out_single = jax.jit(step)(model, state, force)
+    s_model, s_state, s_force = shard_simulation(
+        model, state, force, eight_device_mesh
+    )
+    assert s_model.halo_conn is not None
+    out_sharded = jax.jit(step)(s_model, s_state, s_force)
+    assert bool(out_sharded.pcg.converged)
+    u1 = np.asarray(out_single.state.displacement)
+    u8 = np.asarray(out_sharded.state.displacement)
+    np.testing.assert_allclose(u8, u1, atol=1e-5 * (np.abs(u1).max() + 1e-30))
+
+
+@pytest.mark.slow
+def test_general_halo_collective_counts(eight_device_mesh):
+    """Compiler-verified budget: the fused-variant PCG iteration through
+    the halo operator issues exactly ONE f64 all-reduce (the fused dots)
+    and TWO collective-permutes of (G, 3) rows — the x ghost receive and
+    the force partial return.  GSPMD's implicit all-gathers are gone."""
+    from functools import partial
+
+    from civiwave_tpu.parallel.collectives import pcg_body_collectives
+    from civiwave_tpu.solver.stepper import effective_scalars
+
+    model, state, force, ray = _general_fixture((24, 3, 3), True)
+    s_model, s_state, s_force = shard_simulation(
+        model, state, force, eight_device_mesh
+    )
+    assert s_model.halo_conn is not None
+    ss, mf = effective_scalars(1e-3, ray.alpha, ray.beta)
+    pc = jax.jit(lambda m, a, b: m.build_preconditioner(a, b))(s_model, ss, mf)
+    step = jax.jit(
+        partial(
+            newmark_step,
+            rayleigh_alpha=ray.alpha,
+            rayleigh_beta=ray.beta,
+            solver_variant="fused",
+        )
+    )
+    hlo = (
+        step.lower(s_model, s_state, s_force, 1e-3, 2e-4, 120,
+                   preconditioner=pc)
+        .compile()
+        .as_text()
+    )
+    ops = pcg_body_collectives(hlo)
+    ar = sum(n for (op, _), n in ops.items() if op == "all-reduce")
+    cp = sum(n for (op, _), n in ops.items() if op == "collective-permute")
+    ag = sum(n for (op, _), n in ops.items() if op == "all-gather")
+    assert ar == 1, f"expected the one fused f64 all-reduce: {ops}"
+    assert cp == 2, f"expected 2 halo permutes per iteration: {ops}"
+    assert ag == 0, f"halo path must not all-gather: {ops}"
+
+
+def test_general_halo_fallback_paths(eight_device_mesh, monkeypatch):
+    """Plans that cannot hold fall back to pure GSPMD: a bar whose node
+    bandwidth exceeds one block (the original small fixture), and the
+    explicit CIVIWAVE_GENERAL_HALO=0 opt-out."""
+    _, _, _, model, state, force = _build(8)
+    s_model, _, _ = shard_simulation(model, state, force, eight_device_mesh)
+    assert s_model.halo_conn is None  # bandwidth > L on the 4x2x2 bar
+
+    big, st, f, _ = _general_fixture((24, 3, 3), True)
+    monkeypatch.setenv("CIVIWAVE_GENERAL_HALO", "0")
+    s2, _, _ = shard_simulation(big, st, f, eight_device_mesh)
+    assert s2.halo_conn is None
