@@ -121,19 +121,29 @@ def main() -> None:
     else:  # steps-only iteration mode; headline JSON still needs a value
         gdofs_structured = float("nan")
 
-    # general unstructured path on the same box (on by default only at
-    # sizes where its pack + gathers stay tractable)
+    # general unstructured path (VERDICT r3 #1: emitted every run so it can
+    # never regress silently).  On the same box when its pack + gathers stay
+    # tractable; above that, on a fixed 66^3-cell box (~903k DOF — the
+    # README's reference-workload-class scale) so the metric line still
+    # appears at the 255^3 headline size.
     gdofs_general = None
-    general_default = "1" if dof <= 2_000_000 else "0"
-    if os.environ.get("CIVIWAVE_BENCH_GENERAL", general_default) == "1":
+    if os.environ.get("CIVIWAVE_BENCH_GENERAL", "1") == "1":
+        if dof <= 2_000_000:
+            gnx, gny, gnz = nx, ny, nz
+        else:
+            gnx, gny, gnz = 66, 66, 66
         t0 = time.perf_counter()
-        mesh = box_mesh(nx, ny, nz, hex_elements=True)
+        mesh = box_mesh(gnx, gny, gnz, hex_elements=True)
         pre = preprocess.run(mesh, cfg)
         model, state, _force = pack.build_packed_model(
             mesh, pre, cfg, mats, pad_nodes=1024, pad_elems=1024
         )
-        log(f"general-path pack built in {time.perf_counter()-t0:.1f}s")
-        gdofs_general = _bench_matvec(model, dof, "general")
+        gdof = model.dof_count
+        log(
+            f"general-path pack ({gnx}x{gny}x{gnz}, dof={gdof:,}) "
+            f"built in {time.perf_counter()-t0:.1f}s"
+        )
+        gdofs_general = _bench_matvec(model, gdof, "general")
 
     # secondary metric: full Newmark-PCG stepping rate (structured path,
     # runtime tolerance, warm starts) — the BASELINE.json "steps/sec" figure.
@@ -205,7 +215,11 @@ def main() -> None:
     import math
 
     if gdofs_general is not None and math.isfinite(gdofs_structured):
-        log(f"structured/general speedup: {gdofs_structured / gdofs_general:.1f}x")
+        note = " (different mesh sizes)" if dof > 2_000_000 else ""
+        log(
+            f"structured/general throughput ratio: "
+            f"{gdofs_structured / gdofs_general:.1f}x{note}"
+        )
     log(f"device: {jax.devices()[0]}")
 
     if gdofs_general is not None:
