@@ -56,8 +56,10 @@ def _bench_matvec(model, dof, label, inner=32):
 
         return jax.lax.fori_loop(0, inner, body, x)
 
-    rng = np.random.default_rng(0)
-    x0 = jnp.asarray(rng.standard_normal(model.vector_shape).astype(np.float32))
+    # generate x0 ON DEVICE: a host-side random vector is 201 MB at the
+    # 255^3 flagship, which the axon relay moves at 0.1-2 MB/s (ADR-29/31)
+    x0 = jax.random.normal(jax.random.PRNGKey(0), model.vector_shape,
+                           jnp.float32)
     mid = x0.size // 2  # interior (non-Dirichlet) slice for the NaN guard
 
     def run_synced(x):

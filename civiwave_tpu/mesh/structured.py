@@ -26,7 +26,9 @@ pinned by tests against PackedModel on the same box.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import Optional, Tuple
 
 import jax
@@ -352,6 +354,115 @@ def traction_force_grid(
     return grid.transpose(3, 0, 1, 2).astype(np.float32)
 
 
+@lru_cache(maxsize=32)
+def _device_grids_fn(
+    nx: int,
+    ny: int,
+    nz: int,
+    xs_pad: int,
+    ys_pad: int,
+    cell_ys: int,
+    fixes_static: Tuple[Tuple[str, Tuple[bool, bool, bool]], ...],
+    traction_plane: str,
+):
+    """Jitted on-device builder for every node-grid array of the
+    homogeneous structured model (ADR-31).
+
+    The numpy path materializes ~1 GB of host arrays at the 255^3
+    flagship (masses, masks, positions, force) that are all ANALYTIC:
+    each is a per-axis cell-adjacency count product (values in {0,1,2},
+    exact powers of two) scaled by one f64 scalar.  Building them in one
+    jitted program keeps host->device traffic at a handful of scalars —
+    on the axon relay (0.1-2 MB/s) that converts a multi-minute model
+    upload into one ~seconds compile.  All arithmetic runs in f64 and
+    casts to the storage dtype at the end, exactly like the numpy path;
+    power-of-two adjacency scalings commute with rounding, so the
+    results are bit-identical (pinned by
+    tests/test_structured.py::test_device_build_matches_numpy).
+    """
+    xs, ys, zs = nx + 1, ny + 1, nz + 1
+    slices = tuple(
+        _box_plane_slice(tag, xs, (xs, ys, zs))[1]
+        for tag, _ in fixes_static
+    )
+    t_axis, _ = _box_plane_slice(traction_plane, xs, (xs, ys, zs))
+    t_index = 0 if traction_plane[1] == "0" else (
+        xs - 1 if t_axis == 0 else (ys, zs)[t_axis - 1] - 1
+    )
+
+    def build(hx, hy, hz, cm, cmg, a4t, fixvals, lam_v, mu_v):
+        f64 = jnp.float64
+        ix = jnp.arange(xs_pad)[:, None, None]
+        iy = jnp.arange(ys_pad)[None, :, None]
+        iz = jnp.arange(zs)[None, None, :]
+
+        def adj(i, ncells):  # cells adjacent to node plane i along an axis
+            return (
+                ((i >= 1) & (i <= ncells)).astype(f64)
+                + (i <= ncells - 1).astype(f64)
+            )
+
+        ax_, ay_, az_ = adj(ix, nx), adj(iy, ny), adj(iz, nz)
+        counts = ax_ * ay_ * az_  # cells per node: 0 on pads, 8 interior
+        mass = (cm * counts).astype(jnp.float32)
+
+        # cell material grids: the material value on real cells, 0 on the
+        # x/y pad tails (== numpy's zero np.pad)
+        icx = jnp.arange(xs_pad)[:, None, None] < nx
+        icy = jnp.arange(cell_ys)[None, :, None] < ny
+        cell_real = (icx & icy).astype(jnp.float32)
+        lam = lam_v * jnp.broadcast_to(cell_real, (xs_pad, cell_ys, nz))
+        mu = mu_v * jnp.broadcast_to(cell_real, (xs_pad, cell_ys, nz))
+
+        # Dirichlet planes (static slices), then dead-pad overrides — the
+        # same order of operations as the numpy path
+        bc = jnp.zeros((xs_pad, ys_pad, zs, 3), bool)
+        vals = jnp.zeros((xs_pad, ys_pad, zs, 3), jnp.float32)
+        for f, (sl, (_, constrain)) in enumerate(
+            zip(slices, fixes_static)
+        ):
+            for a in range(3):
+                if constrain[a]:
+                    bc = bc.at[sl + (a,)].set(True)
+                    vals = vals.at[sl + (a,)].set(fixvals[f, a])
+        dead = (ix >= xs) | (iy >= ys)
+        bc = bc | dead[..., None]
+        vals = jnp.where(dead[..., None], 0.0, vals)
+
+        # nodal positions continue the lattice across pads (no dead Y
+        # rows in the host-facing flat order)
+        px = (ix.astype(f64) * hx)
+        py = (jnp.arange(ys)[None, :, None].astype(f64) * hy)
+        pz = (iz.astype(f64) * hz)
+        shape = (xs_pad, ys, zs)
+        pos = jnp.stack(
+            [jnp.broadcast_to(p, shape) for p in (px, py, pz)], axis=-1
+        ).astype(jnp.float32).reshape(xs_pad * ys * zs, 3)
+
+        # external force: gravity rides the mass counts; the traction
+        # plane adds face-area shares (the face-dim adjacency product)
+        face_adj = [ax_, ay_, az_]
+        face_adj[t_axis] = (
+            [ix, iy, iz][t_axis] == t_index
+        ).astype(f64)
+        force = counts[..., None] * cmg + (
+            face_adj[0] * face_adj[1] * face_adj[2]
+        )[..., None] * a4t
+        force = jnp.transpose(force.astype(jnp.float32), (3, 0, 1, 2))
+
+        return dict(
+            lam=lam,
+            mu=mu,
+            mass=mass,
+            bc=jnp.transpose(bc, (3, 0, 1, 2)),
+            vals=jnp.transpose(vals, (3, 0, 1, 2)),
+            pos=pos,
+            force=force,
+        )
+
+    return jax.jit(build)
+
+
 def build_structured_model(
     nx: int,
     ny: int,
@@ -421,6 +532,74 @@ def build_structured_model(
             "material grid; use the general (Gmsh/packed) path for "
             "multi-material absorbing boundaries"
         )
+
+    if fixes is None:
+        fixes = [(tag, (True, True, True), (None, None, None))
+                 for tag in fixed_axis_planes]
+
+    # homogeneous grids build entirely ON DEVICE (ADR-31): every node-grid
+    # array is an analytic adjacency-count product, so one jitted program
+    # replaces ~1 GB of host->device transfer at the 255^3 flagship.
+    # Bit-identical to the numpy path below (parity-tested);
+    # CIVIWAVE_DEVICE_BUILD=0 forces the numpy reference path.
+    if homogeneous and os.environ.get("CIVIWAVE_DEVICE_BUILD", "auto") != "0":
+        cell_ys = ys_pad if pad_y_multiple > 1 else ny
+        fixes_static = tuple(
+            (tag, tuple(bool(c) for c in constrain))
+            for tag, constrain, _ in fixes
+        )
+        fixvals = np.array(
+            [
+                [0.0 if v is None else float(v) for v in values]
+                for _, _, values in fixes
+            ],
+            np.float32,
+        ).reshape(len(fixes), 3)
+        cell_volume = hx * hy * hz
+        cm = density * cell_volume / 8.0
+        t_axis = {"x": 0, "y": 1, "z": 2}[traction_plane[0]]
+        fd = [d for d in range(3) if d != t_axis]
+        face_area = spacing[fd[0]] * spacing[fd[1]]
+        g = _device_grids_fn(
+            nx, ny, nz, xs_pad, ys_pad, cell_ys, fixes_static,
+            traction_plane,
+        )(
+            jnp.float64(hx),
+            jnp.float64(hy),
+            jnp.float64(hz),
+            jnp.float64(cm),
+            jnp.asarray(cm * np.asarray(gravity, np.float64)),
+            jnp.asarray(
+                (face_area / 4.0) * np.asarray(traction, np.float64)
+            ),
+            jnp.asarray(fixvals),
+            jnp.float32(np.float32(lam0)),
+            jnp.float32(np.float32(mu0)),
+        )
+        model = StructuredModel(
+            lam_grid=g["lam"],
+            mu_grid=g["mu"],
+            mass_grid=g["mass"],
+            bc_mask=g["bc"],
+            bc_value=g["vals"],
+            position0=g["pos"],
+            nx=nx,
+            ny=ny,
+            nz=nz,
+            node_count=xs * ys * zs,
+            padded_node_count=n,
+            pad_planes=pad_planes,
+            pad_rows=pad_rows,
+            spacing=(float(hx), float(hy), float(hz)),
+            homogeneous=True,
+            lam0=lam0,
+            mu0=mu0,
+            absorb_faces=tuple(absorb_planes),
+            rho_cp=float(np.sqrt(density * (lam0 + 2.0 * mu0)))
+            if absorb_planes else 0.0,
+            rho_cs=float(np.sqrt(density * mu0)) if absorb_planes else 0.0,
+        )
+        return model, g["force"]
 
     # pad the cell grids along X to the padded NODE extent: X-slab
     # sharding (parallel/sharding.shard_structured) then divides the

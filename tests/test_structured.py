@@ -541,3 +541,58 @@ def test_pc_keff_fused_kernel_matches(rng):
     np.testing.assert_array_equal(
         np.asarray(w2), np.asarray(model_odd.apply_keff(u2_ref, ss, mf))
     )
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(),
+        dict(pad_x_multiple=8),
+        dict(pad_x_multiple=4, pad_y_multiple=2),
+        dict(traction=(1e5, -2e5, 3e5), traction_plane="z1"),
+        dict(gravity=(0.0, 0.0, -9.81), traction=(0.0, 0.0, -1e6)),
+        dict(
+            fixes=[
+                ("x0", (True, False, True), (0.1, None, None)),
+                ("y1", (False, True, False), (None, 2.5, None)),
+            ]
+        ),
+        dict(absorb_planes=("y0", "z0"), traction=(0.0, 0.0, -1e6)),
+        dict(
+            spacing=(0.3, 0.7, 1.1),
+            traction=(0.0, 0.0, -1e6),
+            gravity=(1.0, 2.0, 3.0),
+        ),
+    ],
+    ids=[
+        "plain", "xpad", "xypad", "ztraction", "gravity", "fixes",
+        "absorb", "spacing",
+    ],
+)
+def test_device_build_matches_numpy(kw, monkeypatch):
+    """The on-device homogeneous builder (ADR-31) is BIT-identical to the
+    numpy reference path: every grid array is an f64 adjacency-count
+    product whose power-of-two scalings commute with rounding."""
+    cfg = cantilever_config()
+    mat = materials.make_properties(cfg.materials[0])
+    rho = cfg.materials[0].density
+    monkeypatch.setenv("CIVIWAVE_DEVICE_BUILD", "1")
+    md, fd = build_structured_model(5, 3, 4, mat, rho, **kw)
+    monkeypatch.setenv("CIVIWAVE_DEVICE_BUILD", "0")
+    mn, fn = build_structured_model(5, 3, 4, mat, rho, **kw)
+    fields = [
+        "lam_grid", "mu_grid", "mass_grid", "bc_mask", "bc_value",
+        "position0",
+    ]
+    for name in fields:
+        a = np.asarray(getattr(md, name))
+        b = np.asarray(getattr(mn, name))
+        assert a.shape == b.shape, (name, a.shape, b.shape)
+        np.testing.assert_array_equal(a, b, err_msg=name)
+    np.testing.assert_array_equal(np.asarray(fd), np.asarray(fn))
+    for name in [
+        "nx", "ny", "nz", "node_count", "padded_node_count", "pad_planes",
+        "pad_rows", "spacing", "homogeneous", "lam0", "mu0", "absorb_faces",
+        "rho_cp", "rho_cs",
+    ]:
+        assert getattr(md, name) == getattr(mn, name), name
