@@ -151,6 +151,7 @@ def main() -> None:
     # runtime tolerance, warm starts) — the BASELINE.json "steps/sec" figure.
     # Measured under both preconditioners: block-Jacobi (the reference's,
     # pcg.cpp:479-503) and the geometric multigrid V-cycle (ops/multigrid.py)
+    general_steps_per_sec = None
     if os.environ.get("CIVIWAVE_BENCH_STEPS", "1") == "1":
         from functools import partial
 
@@ -182,6 +183,53 @@ def main() -> None:
             u = s.displacement.ravel()
             return float(jnp.sum(jnp.abs(u[u.size // 2 : u.size // 2 + 64])))
 
+        def bench_steps(m, f, label):
+            state0 = m.zero_state()
+            pc = build_pc(m, pc_ss, pc_mf)
+            final_state, total_iters = run_steps(m, state0, f, pc)
+            checksum = steps_checksum(final_state)
+            best = float("inf")
+            for _rep in range(3):  # best-of-3: the relay adds ~15% jitter
+                t0 = time.perf_counter()
+                final_state, total_iters = run_steps(m, state0, f, pc)
+                checksum = steps_checksum(final_state)
+                best = min(best, time.perf_counter() - t0)
+            steps_per_sec = n_steps / best
+            log(
+                f"[{label}] Newmark-PCG: {steps_per_sec:.1f} steps/s "
+                f"at {m.dof_count:,} DOF (avg "
+                f"{int(total_iters)/n_steps:.1f} PCG iters/step, tol 2e-4, "
+                f"checksum {checksum:.3e})"
+            )
+            return steps_per_sec
+
+        # third metric (VERDICT r4 #3): general-path stepping rate at the
+        # reference's own interactive domain — 10-30 Hz at 50-150k DOF
+        # (docs/spec.md:27-28) — on a SHUFFLED-numbering unstructured mesh
+        # (the real-Gmsh worst case; pack's RCM renumbering, ADR-32,
+        # re-engages the banded gather windows).  34^3 hex cells = 128,625
+        # DOF, top of the reference's band.
+        if os.environ.get("CIVIWAVE_BENCH_GENERAL", "1") == "1":
+            from civiwave_tpu.utils.synthetic import shuffle_mesh_nodes
+
+            t0 = time.perf_counter()
+            gs_mesh = shuffle_mesh_nodes(
+                box_mesh(34, 34, 34, hex_elements=True), seed=5
+            )
+            gs_pre = preprocess.run(gs_mesh, cfg)
+            gs_model, _gs_state, gs_force = pack.build_packed_model(
+                gs_mesh, gs_pre, cfg, mats, pad_nodes=1024, pad_elems=1024
+            )
+            log(
+                f"general-steps pack (34^3 shuffled, "
+                f"dof={gs_model.dof_count:,}, renumbered="
+                f"{gs_model.renumbered}) built in "
+                f"{time.perf_counter()-t0:.1f}s"
+            )
+            general_steps_per_sec = bench_steps(
+                gs_model, gs_force, "general/block_jacobi"
+            )
+
         variants = [("block_jacobi", structured)]
         # MG wins below ~1M DOF and loses once the fine matvec dominates
         # the iteration (ADR-15) — only bench it where it is the right tool
@@ -197,22 +245,7 @@ def main() -> None:
             if structured_mg.mg_levels:
                 variants.append(("multigrid", structured_mg))
         for name, m in variants:
-            state0 = m.zero_state()
-            pc = build_pc(m, pc_ss, pc_mf)
-            final_state, total_iters = run_steps(m, state0, _f, pc)
-            checksum = steps_checksum(final_state)
-            best = float("inf")
-            for _rep in range(3):  # best-of-3: the relay adds ~15% jitter
-                t0 = time.perf_counter()
-                final_state, total_iters = run_steps(m, state0, _f, pc)
-                checksum = steps_checksum(final_state)
-                best = min(best, time.perf_counter() - t0)
-            steps_per_sec = n_steps / best
-            log(
-                f"[structured/{name}] Newmark-PCG: {steps_per_sec:.1f} steps/s "
-                f"at {dof:,} DOF (avg {int(total_iters)/n_steps:.1f} PCG "
-                f"iters/step, tol 2e-4, checksum {checksum:.3e})"
-            )
+            bench_steps(m, _f, f"structured/{name}")
 
     import math
 
@@ -224,6 +257,20 @@ def main() -> None:
         )
     log(f"device: {jax.devices()[0]}")
 
+    if general_steps_per_sec is not None:
+        # third metric line (VERDICT r4 #3): general-path stepping rate at
+        # the reference's interactive domain; vs_baseline is relative to
+        # the TOP of its 10-30 Hz target band (docs/spec.md:27-28)
+        print(
+            json.dumps(
+                {
+                    "metric": "general_steps_per_s",
+                    "value": round(general_steps_per_sec, 2),
+                    "unit": "steps/s",
+                    "vs_baseline": round(general_steps_per_sec / 30.0, 3),
+                }
+            )
+        )
     if gdofs_general is not None:
         # secondary metric line (VERDICT r3 #1): the general unstructured
         # path's throughput, emitted so it can never regress silently.

@@ -19,9 +19,9 @@ Projection model (all knobs env-overridable):
     t_iter(N) = (t_matvec + t_tail) * (target_dof / N) / measured_dof
                 + n_all_reduce * t_ar + n_permute * t_cp
     steps/s   = 1 / (t_iter * iters_per_step + t_frame_envelope(N))
-Defaults use the round-3 v5e measurements (4.48 ms matvec + 2.70 ms PCG
-tail per iteration at 50.3M DOF with the fused variant + pc+matvec+dots
-kernel, 24.8 iters/step at tol 2e-4)
+Defaults use the round-4 DRIVER-measured v5e numbers (BENCH_r04.json:
+4.57 ms/matvec at 50.3M DOF; 5.3 steps/s at 24.8 iters/step => 7.41 ms
+total per iteration, so a 2.84 ms PCG tail after the 5 ms frame envelope)
 scaled by CIVIWAVE_MC_CHIP_SPEEDUP for the target chip (v5p HBM bandwidth
 is ~3.4x v5e's; both kernels are bandwidth/VPU-bound) and 15/5 us per
 all-reduce/one-plane-permute over ICI (scaling-book-class latencies).
@@ -31,8 +31,8 @@ Env knobs:
     CIVIWAVE_MC_SHARDS=1,2,4,8     shard counts to compile
     CIVIWAVE_MC_SHARDS2D=4x2,2x4   2-D (X, Y) device grids to compile
     CIVIWAVE_MC_TARGET_DOF=10.06e6 projection workload
-    CIVIWAVE_MC_MEASURED_DOF=50.33e6, CIVIWAVE_MC_T_MATVEC_MS=4.48,
-    CIVIWAVE_MC_T_TAIL_MS=2.70, CIVIWAVE_MC_ITERS=24.8,
+    CIVIWAVE_MC_MEASURED_DOF=50.33e6, CIVIWAVE_MC_T_MATVEC_MS=4.57,
+    CIVIWAVE_MC_T_TAIL_MS=2.84, CIVIWAVE_MC_ITERS=24.8,
     CIVIWAVE_MC_CHIP_SPEEDUP=3.4 (v5p/v5e), CIVIWAVE_MC_AR_US=15,
     CIVIWAVE_MC_CP_US=5
 """
@@ -73,19 +73,25 @@ def main() -> None:
     if len(jax.devices()) < need:
         # fall back to virtual CPU devices (the axon sitecustomize holds
         # one real chip open; compile-time collective extraction is
-        # platform-independent) — same mechanism as dryrun_multichip
-        try:
-            jax.config.update("jax_platforms", "cpu")
-            jax.config.update("jax_num_cpu_devices", need)
-        except RuntimeError:
-            pass
-        if len(jax.devices()) < need:
-            from jax._src import xla_bridge
-
-            xla_bridge._clear_backends()
-            xla_bridge.get_backend.cache_clear()
-            jax.config.update("jax_platforms", "cpu")
-            jax.config.update("jax_num_cpu_devices", need)
+        # platform-independent).  Env vars must land before jax
+        # initializes, so RE-EXEC this process with them set — same
+        # subprocess principle as __graft_entry__.dryrun_multichip, no
+        # jax._src private API.
+        if os.environ.get("CIVIWAVE_MC_REEXEC") == "1":
+            raise RuntimeError(
+                f"re-exec still sees {len(jax.devices())} devices"
+            )
+        env = dict(os.environ)
+        env["CIVIWAVE_MC_REEXEC"] = "1"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_NUM_CPU_DEVICES"] = str(need)
+        flags = env.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            env["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={need}"
+            ).strip()
+        log(f"re-exec with {need} virtual CPU devices")
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
     n_visible = len(jax.devices())
     backend = jax.default_backend()
@@ -121,8 +127,8 @@ def main() -> None:
     # projection constants (see module docstring)
     target_dof = _env_f("CIVIWAVE_MC_TARGET_DOF", 10.06e6)
     measured_dof = _env_f("CIVIWAVE_MC_MEASURED_DOF", 50.33e6)
-    t_matvec = _env_f("CIVIWAVE_MC_T_MATVEC_MS", 4.48) * 1e-3
-    t_tail = _env_f("CIVIWAVE_MC_T_TAIL_MS", 2.70) * 1e-3
+    t_matvec = _env_f("CIVIWAVE_MC_T_MATVEC_MS", 4.57) * 1e-3
+    t_tail = _env_f("CIVIWAVE_MC_T_TAIL_MS", 2.84) * 1e-3
     iters = _env_f("CIVIWAVE_MC_ITERS", 24.8)
     speedup = _env_f("CIVIWAVE_MC_CHIP_SPEEDUP", 3.4)
     t_ar = _env_f("CIVIWAVE_MC_AR_US", 15.0) * 1e-6

@@ -42,6 +42,7 @@ zero mass — exact no-ops in the solver.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Optional, Sequence, Tuple
 
@@ -252,6 +253,12 @@ class PackedModel:
     halo_mu: Optional[jax.Array] = None  # (S*E_s,)
     halo_csr_idx: Optional[jax.Array] = None  # (S*(L+G), D) int32 local
     halo_csr_weight: Optional[jax.Array] = None  # (S*(L+G), D) f32
+    # RCM node renumbering (mesh/renumber.py, ADR-32; None = identity).
+    # perm_new_of_old[old_id] = internal id; perm_old_of_new inverts it.
+    # Both are padded to N* with an identity tail so they row-shard with
+    # the node axis; to_nodal/from_nodal translate at the host edges.
+    perm_new_of_old: Optional[jax.Array] = None  # (N*,) int32
+    perm_old_of_new: Optional[jax.Array] = None  # (N*,) int32
     # static metadata
     node_count: int = field(metadata=dict(static=True), default=0)
     padded_node_count: int = field(metadata=dict(static=True), default=0)
@@ -309,17 +316,29 @@ class PackedModel:
         z = jnp.zeros(self.vector_shape, jnp.float32)
         return SimState(z, z, z, z)
 
+    @property
+    def renumbered(self) -> bool:
+        """Whether pack applied an RCM node permutation (ADR-32)."""
+        return self.perm_new_of_old is not None
+
     def to_nodal(self, vector: jax.Array) -> jax.Array:
-        """Solver vector -> (node_count, 3) nodal rows."""
+        """Solver vector -> (node_count, 3) nodal rows in the MESH's
+        original node order (inverse-permuting any RCM renumbering)."""
+        if self.perm_new_of_old is not None:
+            vector = vector[self.perm_new_of_old]
         return vector[: self.node_count]
 
     def from_nodal(self, rows) -> jax.Array:
+        """(node_count, 3) rows in original mesh order -> solver vector."""
         rows = jnp.asarray(rows, jnp.float32)[: self.node_count]
-        return (
+        full = (
             jnp.zeros(self.vector_shape, jnp.float32)
             .at[: self.node_count]
             .set(rows)
         )
+        if self.perm_old_of_new is not None:
+            full = full[self.perm_old_of_new]
+        return full
 
     def apply_keff(self, x, stiffness_scale, mass_factor):
         if self.halo_conn is not None and self.shard_mesh is not None:
@@ -467,19 +486,38 @@ def build_packed_model(
 
     n_pad = _round_up(max(n, 1), pad_nodes)
 
+    # --- RCM node renumbering (ADR-32) -----------------------------------
+    # Applied only when it strictly tightens the element-span metric the
+    # banded windows and halo plan are gated on; identity (None) keeps the
+    # mesh's native order at zero cost.  CIVIWAVE_RENUMBER=0 disables.
+    perm = iperm = None
+    if os.environ.get("CIVIWAVE_RENUMBER", "auto") != "0" and n > 1:
+        from .renumber import plan_renumbering
+
+        tet_rows = preprocess.tet_connectivity[:, :4]
+        pair = plan_renumbering(
+            [tet_rows, preprocess.hex_connectivity], n
+        )
+        if pair is not None:
+            perm, iperm = pair
+
+    def _pnode(arr: np.ndarray) -> np.ndarray:
+        """Original-order per-node rows -> internal (renumbered) order."""
+        return arr if iperm is None else arr[iperm]
+
     # --- per-node tables -------------------------------------------------
     position0 = np.zeros((n_pad, 3), dtype=np.float32)
-    position0[:n] = clamp_to_f32(mesh.node_positions)
+    position0[:n] = _pnode(clamp_to_f32(mesh.node_positions))
 
     lumped_mass = np.zeros(n_pad, dtype=np.float32)
-    lumped_mass[:n] = clamp_to_f32(preprocess.lumped_mass)
+    lumped_mass[:n] = _pnode(clamp_to_f32(preprocess.lumped_mass))
 
     dirichlet = oracle.build_dirichlet_conditions(mesh, cfg)
     bc_mask = np.zeros((n_pad, 3), dtype=bool)
-    bc_mask[:n] = dirichlet.mask.reshape(n, 3)
+    bc_mask[:n] = _pnode(dirichlet.mask.reshape(n, 3))
     bc_mask[n:] = True  # padded nodes are fully constrained no-ops
     bc_value = np.zeros((n_pad, 3), dtype=np.float32)
-    bc_value[:n] = clamp_to_f32(dirichlet.targets.reshape(n, 3))
+    bc_value[:n] = _pnode(clamp_to_f32(dirichlet.targets.reshape(n, 3)))
 
     # Lysmer-Kuhlemeyer absorbing dashpots (extension; None when the YAML
     # declares no boundaries.absorbing groups)
@@ -488,14 +526,14 @@ def build_packed_model(
     damp_np = absorbing_mod.assemble_dashpots(mesh, preprocess, cfg, materials)
     if damp_np is not None:
         padded = np.zeros((n_pad, 6), dtype=np.float32)
-        padded[:n] = clamp_to_f32(damp_np)
+        padded[:n] = _pnode(clamp_to_f32(damp_np))
         damp_blocks = jnp.asarray(padded)
     else:
         damp_blocks = None
 
     load = loads_mod.assemble_load_vector(mesh, cfg, preprocess, 0.0)
     external_force = np.zeros((n_pad, 3), dtype=np.float32)
-    external_force[:n] = clamp_to_f32(load)
+    external_force[:n] = _pnode(clamp_to_f32(load))
 
     # --- element blocks ----------------------------------------------------
     lam_np, mu_np, d_np = material_tables(materials)
@@ -531,6 +569,8 @@ def build_packed_model(
     if t:
         rows = preprocess.tet_connectivity
         rows = np.where(rows[:, :4] == SENTINEL, 0, rows[:, :4])
+        if perm is not None:
+            rows = perm[rows].astype(np.int32)
         # sort by min corner node: bounds the per-chunk node window for
         # the banded x-gather and keeps per-node incident rows local for
         # the banded assembly (ADR-20); internal order only
@@ -555,6 +595,8 @@ def build_packed_model(
     if h:
         rows = preprocess.hex_connectivity
         rows = np.where(rows == SENTINEL, 0, rows)
+        if perm is not None:
+            rows = perm[rows].astype(np.int32)
         order = np.argsort(rows.min(axis=1), kind="stable")
         conn_hex[:h] = rows[order]
         conn_hex[h:] = conn_hex[h - 1] if h else 0  # pad inside the window
@@ -594,7 +636,19 @@ def build_packed_model(
                 pad_slots = csr_weight[n0 : n0 + ncnt] == 0.0
                 csr_idx[n0 : n0 + ncnt][pad_slots] = e_lo * rpe
 
+    if perm is not None:
+        perm_pad = np.arange(n_pad, dtype=np.int32)
+        perm_pad[:n] = perm
+        iperm_pad = np.arange(n_pad, dtype=np.int32)
+        iperm_pad[:n] = iperm
+        perm_new_of_old = jnp.asarray(perm_pad)
+        perm_old_of_new = jnp.asarray(iperm_pad)
+    else:
+        perm_new_of_old = perm_old_of_new = None
+
     model = PackedModel(
+        perm_new_of_old=perm_new_of_old,
+        perm_old_of_new=perm_old_of_new,
         conn_tet=jnp.asarray(conn_tet),
         grads_tet=jnp.asarray(grads_tet),
         vol_tet=jnp.asarray(vol_tet),

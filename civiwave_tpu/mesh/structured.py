@@ -656,7 +656,12 @@ def build_structured_model(
     _, share = _face_share(traction_plane, (nx, ny, nz), (hx, hy, hz))
     traction_vec = np.asarray(traction, dtype=np.float64)
     _, sl = _box_plane_slice(traction_plane, xs, (xs, ys, zs))
-    force_grid[sl] = force_grid[sl] + share[..., None] * traction_vec
+    # index through the REAL x-extent view: share spans unpadded node
+    # extents, while force_grid's x axis is already X-padded — a y/z-plane
+    # slice over the full grid would broadcast (xs_pad, .) against (xs, .)
+    # (round-4 advisor finding; dead pad planes carry zero force anyway)
+    fg_real = force_grid[:xs]
+    fg_real[sl] = fg_real[sl] + share[..., None] * traction_vec
 
     if pad_rows:
         # dead +Y node rows: massless, fully constrained, zero force — the

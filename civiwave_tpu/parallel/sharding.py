@@ -100,6 +100,11 @@ def model_shardings(
     extra = {}
     if model.damp_blocks is not None:
         extra["damp_blocks"] = row
+    if model.perm_new_of_old is not None:
+        # RCM permutation tables (ADR-32): (N*,) rows, used only at the
+        # host-facing to_nodal/from_nodal edges
+        extra["perm_new_of_old"] = row
+        extra["perm_old_of_new"] = row
     if model.halo_conn is not None:
         # halo tables shard their per-shard-stacked axis (trailing for the
         # transposed gradient/volume streams)

@@ -23,8 +23,6 @@ import time
 from dataclasses import asdict, dataclass
 from typing import List, Optional
 
-import numpy as np
-
 from .config.loader import load_config_from_file
 from .config.schema import Config
 from .utils.errors import CwfError
@@ -101,11 +99,11 @@ class Simulation:
                     load = loads_mod.assemble_load_vector(
                         self.mesh, self.config, self.preprocess, t
                     )
-                    force = np.zeros(
-                        (self.model.padded_node_count, 3), dtype=np.float32
+                    # from_nodal handles padding AND any RCM renumbering
+                    # the pack applied (ADR-32)
+                    self.stepper.set_external_force(
+                        self.model.from_nodal(pack.clamp_to_f32(load))
                     )
-                    force[: self.mesh.node_count] = pack.clamp_to_f32(load)
-                    self.stepper.set_external_force(force)
 
             telemetry = self.stepper.step(t, paused_mode=paused_mode)
             telemetries.append(telemetry)
@@ -264,6 +262,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument(
         "--paused", action="store_true", help="use the pause-mode tolerance"
     )
+    parser.add_argument(
+        "--static",
+        action="store_true",
+        help="solve static equilibrium K u = f instead of time stepping "
+        "(one PCG solve to the pause tolerance; writes VTU frame 0)",
+    )
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument(
         "--telemetry-json",
@@ -308,6 +312,9 @@ def _run_cli(args) -> int:
 
     sim = build_simulation(args.scenario, output_root=args.output)
 
+    if args.static:
+        return _run_static(sim, args)
+
     manager = None
     if args.checkpoint_dir:
         from .utils.checkpoint import CheckpointManager
@@ -351,6 +358,64 @@ def _run_cli(args) -> int:
         with open(args.telemetry_json, "w", encoding="utf-8") as f:
             json.dump([asdict(t) for t in telemetries], f, indent=2)
     return 0
+
+
+def _run_static(sim: Simulation, args) -> int:
+    """Static-equilibrium mode (BASELINE config #1): one PCG solve of
+    K u = f to the scenario's pause tolerance, written as VTU frame 0."""
+    import jax
+
+    from .mesh.pack import SimState
+    from .solver.static import solve_static
+
+    cfg = sim.config
+    tolerance = cfg.solver.pause_tolerance
+    start = time.perf_counter()
+    u, pcg = jax.jit(
+        lambda m, f: solve_static(
+            m,
+            f,
+            tolerance=tolerance,
+            max_iterations=cfg.solver.max_iterations,
+            reduction_precision=cfg.precision.reduction_precision,
+            vector_precision=cfg.precision.vector_precision,
+        )
+    )(sim.model, sim.stepper.external_force)
+    pcg = jax.device_get(pcg)
+    elapsed = time.perf_counter() - start
+
+    # expose the solution through the stepper so both output managers
+    # (general + structured) read it the same way
+    zero = sim.model.zero_state().velocity
+    sim.stepper.state = SimState(
+        displacement=u, velocity=zero, acceleration=zero, warm_x=u
+    )
+    if sim.output is not None:
+        sim.output.handle_from_stepper(0.0, 0, sim.stepper)
+        sim.output.flush()
+
+    u_host = sim.stepper.displacement()
+    print(
+        f"static solve: {int(pcg.iterations)} PCG iterations to "
+        f"tol {tolerance:g} in {elapsed:.3f}s, "
+        f"residual {float(pcg.residual_norm):.3e}, "
+        f"converged={bool(pcg.converged)}, "
+        f"max |u| = {float(abs(u_host).max()):.6e} m"
+    )
+    if args.telemetry_json:
+        payload = {
+            "mode": "static",
+            "iterations": int(pcg.iterations),
+            "residual_norm": float(pcg.residual_norm),
+            "rhs_norm": float(pcg.rhs_norm),
+            "converged": bool(pcg.converged),
+            "tolerance": tolerance,
+            "max_displacement": float(abs(u_host).max()),
+            "elapsed_seconds": elapsed,
+        }
+        with open(args.telemetry_json, "w", encoding="utf-8") as f:
+            json.dump(payload, f, indent=2)
+    return 0 if bool(pcg.converged) else 1
 
 
 if __name__ == "__main__":

@@ -176,6 +176,52 @@ def box_mesh(
     return mesh
 
 
+def shuffle_mesh_nodes(mesh: Mesh, seed: int = 0) -> Mesh:
+    """Randomly permute a mesh's node numbering — same geometry and
+    topology, scrambled ids.
+
+    Real Gmsh output is often far from bandwidth-optimal; the solver must
+    be numbering-indifferent like the reference's CSR gather
+    (/root/reference/src/gpu/pcg.cpp:653-661).  This helper produces the
+    worst case for the banded fast paths so tests and bench.py can prove
+    the pack-time RCM renumbering (mesh/renumber.py) restores them.
+    """
+    rng = np.random.default_rng(seed)
+    n = mesh.node_count
+    perm = rng.permutation(n).astype(np.int64)  # perm[old_id] = new_id
+    iperm = np.argsort(perm)
+
+    def remap(conn: np.ndarray) -> np.ndarray:
+        safe = np.where(conn == SENTINEL, 0, conn).astype(np.int64)
+        return np.where(conn == SENTINEL, SENTINEL, perm[safe]).astype(
+            conn.dtype
+        )
+
+    out = Mesh()
+    out.node_positions = mesh.node_positions[iperm]
+    out.node_original_ids = mesh.node_original_ids[iperm]
+    out.elements = remap(mesh.elements)
+    out.element_node_counts = mesh.element_node_counts.copy()
+    out.element_physical_group = mesh.element_physical_group.copy()
+    out.element_original_ids = mesh.element_original_ids.copy()
+    out.surfaces = remap(mesh.surfaces)
+    out.surface_node_counts = mesh.surface_node_counts.copy()
+    out.surface_physical_group = mesh.surface_physical_group.copy()
+    out.surface_original_ids = mesh.surface_original_ids.copy()
+    out.physical_groups = list(mesh.physical_groups)
+    out.group_lookup = dict(mesh.group_lookup)
+    out.node_groups = {
+        gid: perm[np.asarray(idx, dtype=np.int64)]
+        for gid, idx in mesh.node_groups.items()
+    }
+    # surface_groups hold SURFACE indices, not node ids — copy verbatim
+    out.surface_groups = {
+        gid: np.asarray(idx).copy()
+        for gid, idx in mesh.surface_groups.items()
+    }
+    return out
+
+
 def cantilever_config(
     tol_runtime: float = 1.0e-6,
     tol_pause: float = 1.0e-8,

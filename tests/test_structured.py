@@ -563,10 +563,17 @@ def test_pc_keff_fused_kernel_matches(rng):
             traction=(0.0, 0.0, -1e6),
             gravity=(1.0, 2.0, 3.0),
         ),
+        # pads combined with non-X traction planes: the numpy fallback's
+        # plane slice spans the X-padded grid while the share array spans
+        # unpadded extents (round-4 advisor broadcast bug, now fixed)
+        dict(pad_x_multiple=8, traction=(0.0, 0.0, -1e6),
+             traction_plane="z1"),
+        dict(pad_x_multiple=4, pad_y_multiple=2,
+             traction=(2e5, 0.0, -1e6), traction_plane="y1"),
     ],
     ids=[
         "plain", "xpad", "xypad", "ztraction", "gravity", "fixes",
-        "absorb", "spacing",
+        "absorb", "spacing", "xpad_ztraction", "xypad_ytraction",
     ],
 )
 def test_device_build_matches_numpy(kw, monkeypatch):
