@@ -105,8 +105,9 @@ def main():
     def awonly(m, f):
         def body(_, fs):
             out = ops._assemble_windowed(m, fs, 8)  # (N*,3)
-            back = out[: fs.shape[1]].T[:24]
-            return fs * 0.999 + 0.001 * jnp.zeros_like(fs).at[:, : back.shape[1]].set(back)
+            # scalar feedback serializes iterations without a full-size
+            # relayout riding the timing
+            return fs * 0.999 + 1.0e-9 * jnp.mean(out)
 
         return jax.lax.fori_loop(0, K, body, f)
 
