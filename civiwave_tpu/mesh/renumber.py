@@ -31,6 +31,66 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
+# Offset-pattern feasibility thresholds (ADR-33).  The oct gather plans
+# need (a) few per-slot offset-pattern RUNS in min-corner-sorted element
+# order (each run costs at least one chunk against pack's 64-chunk cap)
+# and (b) element spans inside the x-window budget.
+OCT_RUNS_OK = 48
+OCT_WINDOW = 65536
+
+
+def oct_pattern_runs(
+    conn_blocks: Sequence[np.ndarray], perm: Optional[np.ndarray] = None
+) -> int:
+    """Max over blocks of the number of per-slot offset-pattern runs
+    after sorting elements by min corner id — the chunk-count driver
+    for the oct gather plans (ADR-33; mesh/pack._plan_oct_x_windows).
+    A numbering with few runs lets ONE gathered 24-wide row per element
+    replace 8 narrow row gathers."""
+    worst = 0
+    for conn in conn_blocks:
+        if conn is None or not len(conn):
+            continue
+        c = perm[conn] if perm is not None else np.asarray(conn)
+        emin = c.min(axis=1)
+        order = np.argsort(emin, kind="stable")
+        rel = c[order] - emin[order][:, None]
+        runs = 1
+        if len(rel) > 1:
+            runs += int((rel[1:] != rel[:-1]).any(axis=1).sum())
+        worst = max(worst, runs)
+    return worst
+
+
+def plan_geometric(positions: np.ndarray) -> Optional[np.ndarray]:
+    """Coordinate-lexicographic numbering: sort nodes by quantized
+    (slow, mid, fast) axis ranks with the fewest-distinct-values axes
+    fastest.  On any grid-like mesh (whatever its file-order shuffle)
+    this recovers a numbering whose element corner offsets are
+    per-slot CONSTANT — the property the oct gathers need — where RCM's
+    BFS level sets bound bandwidth but scramble offsets."""
+    p = np.asarray(positions, dtype=np.float64)
+    if p.ndim != 2 or p.shape[1] != 3 or not len(p):
+        return None
+    ranks = []
+    counts = []
+    for a in range(3):
+        c = p[:, a]
+        ext = float(c.max() - c.min())
+        if ext <= 0.0:
+            ranks.append(np.zeros(len(p), dtype=np.int64))
+            counts.append(1)
+            continue
+        q = np.round((c - c.min()) / (ext * 1.0e-9))  # snap float noise
+        _u, inv = np.unique(q, return_inverse=True)
+        ranks.append(inv.astype(np.int64))
+        counts.append(len(_u))
+    fast, mid, slow = np.argsort(np.asarray(counts), kind="stable")
+    order = np.lexsort((ranks[fast], ranks[mid], ranks[slow]))
+    perm = np.empty(len(p), dtype=np.int64)
+    perm[order] = np.arange(len(p), dtype=np.int64)
+    return perm
+
 
 def element_spans(
     conn_blocks: Sequence[np.ndarray], perm: Optional[np.ndarray] = None
@@ -92,17 +152,24 @@ def plan_renumbering(
     conn_blocks: Sequence[np.ndarray],
     node_count: int,
     big_span: int = 4096,
+    positions: Optional[np.ndarray] = None,
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-    """(perm, inverse_perm) when RCM MATERIALLY improves the max element
-    span, else None (keep the mesh's native numbering).
+    """(perm, inverse_perm) when a renumbering MATERIALLY improves the
+    numbering, else None (keep the mesh's native order).
 
-    "Material" means the RCM max span at least halves the native one, or
-    the native span exceeds ``big_span`` (the regime where the absolute
-    bandwidth starts threatening the window budgets / per-shard halo
-    blocks) and RCM improves it at all.  Marginal reshuffles of
-    already-banded numberings (synthetic boxes, well-ordered Gmsh output)
-    are deliberately skipped: the banded machinery engages either way, so
-    re-laying-out every table would churn layouts for zero perf gain.
+    Two candidates, tried in order of what they unlock (ADR-32/33):
+
+    1. **Geometric** (coordinate-lex, needs ``positions``): chosen when
+       the native numbering is NOT oct-regular but the geometric one is
+       — it then re-enables the one-gather-per-element oct fast path
+       (measured 2.8x on the matvec), which outranks any bandwidth
+       delta.  A native numbering that is already oct-regular is never
+       churned.
+    2. **RCM**: the ADR-32 bandwidth rule — chosen when it at least
+       halves the native max element span, or the native span exceeds
+       ``big_span`` and RCM improves it at all.  Bounds the banded
+       window budgets and the halo plan's ghost depth on meshes with no
+       recoverable grid structure.
 
     ``perm[old_id] = new_id``; ``inverse_perm[new_id] = old_id``.
     Deterministic in the mesh alone, so checkpoint resume and multi-host
@@ -113,6 +180,21 @@ def plan_renumbering(
     native = element_spans(conn_blocks)
     if native[0] <= 0:
         return None
+
+    native_oct = (
+        native[0] < OCT_WINDOW
+        and oct_pattern_runs(conn_blocks) <= OCT_RUNS_OK
+    )
+    if not native_oct and positions is not None:
+        geo = plan_geometric(positions)
+        if geo is not None and len(geo) == node_count:
+            geo_span = element_spans(conn_blocks, geo)
+            if (
+                geo_span[0] < OCT_WINDOW
+                and oct_pattern_runs(conn_blocks, geo) <= OCT_RUNS_OK
+            ):
+                return geo, np.argsort(geo)
+
     perm = plan_rcm(conn_blocks, node_count)
     if perm is None:
         return None

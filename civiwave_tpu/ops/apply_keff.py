@@ -92,6 +92,17 @@ def _use_windows() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_oct() -> bool:
+    """Offset-pattern (oct) gathers (ADR-33): one 24-wide gathered row
+    per element / per node instead of 8 narrow rows — measured 3.1x on
+    the x-phase and 3.5x on assembly at 66^3 on v5e.  TPU-only for the
+    same reason as the windows.  Override with CIVIWAVE_OCT=0/1."""
+    env = os.environ.get("CIVIWAVE_OCT", "auto")
+    if env in ("0", "1"):
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
 def sanitize(model: PackedModel, x: jax.Array) -> jax.Array:
     """Zero constrained components (pcg.cpp:535-546)."""
     return jnp.where(model.bc_mask, 0.0, x)
@@ -133,6 +144,29 @@ def _u_streams(
         idx = conn[e0 : e0 + ec].reshape(-1) - lo
         g = jax.lax.optimization_barrier(win[idx])
         parts.append(g.reshape(ec, s).T)
+    return jnp.concatenate(parts, axis=1)
+
+
+def _u_streams_oct(
+    xs: jax.Array, base: jax.Array, chunks: tuple
+) -> jax.Array:
+    """(nl*3, E) displacement streams via ONE gathered row per element
+    (ADR-33).  Every element in a chunk reads its corners at the same
+    per-slot offsets from its min corner, so a (L, nl*3) table built
+    from nl shifted slices of the chunk window serves all corners at
+    once: 2.45 ms vs 7.58 ms for the 8-row windowed form at 66^3
+    (experiments/exp_oct_gather_r5.py x_oct vs x_ship)."""
+    parts = []
+    for e0, ec, lo, L, offs in chunks:
+        span = max(offs)
+        win = jax.lax.dynamic_slice(xs, (lo, 0), (L + span, 3))
+        tab = jnp.concatenate(
+            [jax.lax.slice(win, (o, 0), (o + L, 3)) for o in offs],
+            axis=1,
+        )  # (L, nl*3) — columns are (slot, comp) in conn slot order
+        idx = base[e0 : e0 + ec] - lo
+        g = jax.lax.optimization_barrier(tab[idx])  # (ec, nl*3)
+        parts.append(g.T)
     return jnp.concatenate(parts, axis=1)
 
 
@@ -184,17 +218,22 @@ def _force_streams(
     """(nl*3, E*) force component streams for one element block."""
     if block == "tet":
         conn, windows = model.conn_tet, model.xw_tet
+        oct_chunks, oct_base = model.xo_tet, model.oct_base_tet
         grads, vol = model.grads_tet, model.vol_tet
         lam, mu = model.lam_tet, model.mu_tet
         n_local, n_gp, kernel = 4, 1, tet_force_streams
     else:
         conn, windows = model.conn_hex, model.xw_hex
+        oct_chunks, oct_base = model.xo_hex, model.oct_base_hex
         grads, vol = model.grads_hex, model.vol_hex
         lam, mu = model.lam_hex, model.mu_hex
         n_local, n_gp, kernel = 8, 8, hex_force_streams
     e_pad = conn.shape[0]
     n_streams = n_local * 3
-    us = _u_streams(x_sanitized, conn, windows, n_local)
+    if oct_chunks and oct_base is not None and _use_oct():
+        us = _u_streams_oct(x_sanitized, oct_base, oct_chunks)
+    else:
+        us = _u_streams(x_sanitized, conn, windows, n_local)
     backend = _element_backend()
     if backend != "xla" and e_pad >= BLOCK_ELEMS and e_pad % BLOCK_ELEMS == 0:
         eq = e_pad // 128
@@ -278,6 +317,39 @@ def _assemble_windowed(
     return jnp.concatenate(outs, axis=0)
 
 
+def _assemble_oct(model: PackedModel, f_streams: jax.Array) -> jax.Array:
+    """Offset-pattern assembly (ADR-33): ONE gathered 24-wide stream
+    column per node.  Per chunk, the (K*3, L) table is K shifted stream
+    triples — contiguous sublane slices of ``f_streams``, no (rows, 3)
+    relayout anywhere (the tile-padded row form measured 12.5 ns/row vs
+    0.96 for this shape, experiments/exp_oct_gather_r5.py).  Slices
+    overhanging the padded element axis are zero-filled: only
+    zero-weight slots can land there (a real incidence always references
+    a real element)."""
+    e_pad = f_streams.shape[1]
+    outs = []
+    for n0, ncnt, e_lo, L, pattern in model.oa_oct:
+        rows = []
+        for de, l in pattern:
+            start = e_lo + de  # may be negative (boundary-node columns)
+            lo_c = min(max(start, 0), e_pad)
+            hi_c = min(max(start + L, 0), e_pad)
+            tri = jax.lax.slice(f_streams, (l * 3, lo_c), (l * 3 + 3, hi_c))
+            left = lo_c - start
+            right = L - (hi_c - lo_c) - left
+            if left or right:
+                tri = jnp.pad(tri, ((0, 0), (left, right)))
+            rows.append(tri)
+        tab = jnp.concatenate(rows, axis=0)  # (K*3, L)
+        idx = model.oa_col[n0 : n0 + ncnt] - e_lo
+        g = jax.lax.optimization_barrier(tab[:, idx])  # (K*3, ncnt)
+        gg = g.reshape(len(pattern), 3, ncnt)
+        w = model.oa_w[n0 : n0 + ncnt]  # (ncnt, K)
+        outs.append(jnp.einsum("kbn,nk->bn", gg, w))
+    res = jnp.concatenate(outs, axis=1)  # (3, N*) component-major
+    return res.T
+
+
 def element_force_rows(
     model: PackedModel, x_sanitized: jax.Array, stiffness_scale
 ) -> jax.Array:
@@ -304,7 +376,13 @@ def apply_keff(
     scalars (they change with adaptive dt, newmark_stepper.cpp:1322-1326).
     """
     xs = sanitize(model, x)
-    if model.aw and _use_windows():
+    if model.oa_oct and _use_oct():
+        # offset-pattern fast path (ADR-33): stream-form forces, one
+        # gathered column per node, single (3, N*) -> (N*, 3) relayout
+        block = "tet" if model.padded_tet_count else "hex"
+        f = _force_streams(model, xs, stiffness_scale, block)
+        out = _assemble_oct(model, f)
+    elif model.aw and _use_windows():
         # single-block banded path: keep forces in stream form; the
         # per-chunk transposes inside the assembly replace the full-size
         # rows relayout

@@ -105,6 +105,14 @@ def model_shardings(
         # host-facing to_nodal/from_nodal edges
         extra["perm_new_of_old"] = row
         extra["perm_old_of_new"] = row
+    # oct-plan tables (ADR-33): element- and node-aligned rows
+    if model.oct_base_tet is not None:
+        extra["oct_base_tet"] = row
+    if model.oct_base_hex is not None:
+        extra["oct_base_hex"] = row
+    if model.oa_col is not None:
+        extra["oa_col"] = row
+        extra["oa_w"] = row
     if model.halo_conn is not None:
         # halo tables shard their per-shard-stacked axis (trailing for the
         # transposed gradient/volume streams)
