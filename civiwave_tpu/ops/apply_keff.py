@@ -334,9 +334,14 @@ def _assemble_oct(model: PackedModel, f_streams: jax.Array) -> jax.Array:
             start = e_lo + de  # may be negative (boundary-node columns)
             lo_c = min(max(start, 0), e_pad)
             hi_c = min(max(start + L, 0), e_pad)
-            tri = jax.lax.slice(f_streams, (l * 3, lo_c), (l * 3 + 3, hi_c))
-            left = lo_c - start
-            right = L - (hi_c - lo_c) - left
+            # clamped so pads stay non-negative even when the slice lies
+            # entirely off either end of the element axis
+            left = min(max(-start, 0), L)
+            avail = max(hi_c - lo_c, 0)
+            right = L - left - avail
+            tri = jax.lax.slice(
+                f_streams, (l * 3, lo_c), (l * 3 + 3, lo_c + avail)
+            )
             if left or right:
                 tri = jnp.pad(tri, ((0, 0), (left, right)))
             rows.append(tri)

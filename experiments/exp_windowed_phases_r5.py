@@ -114,7 +114,17 @@ def main():
     bench(full, model, x0, "full", K)
     bench(ustreams, model, x0, "ustreams", K)
     bench(fstreams, model, x0, "fstreams", K)
-    bench(awonly, model, streams0, "awonly", K)
+    if model.aw:  # ADR-20 assembly windows fail past ~1M nodes
+        bench(awonly, model, streams0, "awonly", K)
+    if model.oa_oct:
+        def aoct(m, f):
+            def body(_, fs):
+                out = ops._assemble_oct(m, fs)
+                return fs * 0.999 + 1.0e-9 * jnp.mean(out)
+
+            return jax.lax.fori_loop(0, K, body, f)
+
+        bench(aoct, model, streams0, "aoct", K)
 
     os.environ["CIVIWAVE_GATHER_WINDOWS"] = "0"
     bench(full, model, x0, "nowin", K)

@@ -130,6 +130,37 @@ def test_oct_fallback_on_irregular_numbering(monkeypatch):
     np.testing.assert_allclose(got, ref, atol=1e-6 * scale, rtol=1e-6)
 
 
+def test_oct_assembly_offaxis_slices_zero_pad():
+    """Table slices that lie partly or ENTIRELY off the element axis
+    must zero-pad, not crash (hit at 106^3 where boundary-node columns
+    push chunk windows past both ends).  A chunk (n0, ncnt, e_lo, L,
+    pat) is equivalent to (n0, ncnt, e_lo - s, L + s + t, pat) — the
+    gathered column shifts by s — so shifting the representation forces
+    overhangs without changing the math."""
+    import dataclasses
+
+    import jax
+
+    model = _model(4, 2, 2, hex_elements=True)
+    assert model.oa_oct
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(
+        rng.standard_normal((24, model.padded_hex_count)).astype(np.float32)
+    )
+    ref = np.asarray(ops._assemble_oct(model, f))
+    e_pad = model.padded_hex_count
+    span = max(de for _, _, _, _, pat in model.oa_oct for de, _ in pat)
+    shifted = tuple(
+        # e_lo shifted far left AND L stretched far right: every slice
+        # overhangs; some (de near 0 / de near span) sit fully outside
+        (n0, ncnt, e_lo - (e_pad + span), L + 2 * (e_pad + span), pat)
+        for n0, ncnt, e_lo, L, pat in model.oa_oct
+    )
+    doctored = dataclasses.replace(model, oa_oct=shifted)
+    got = np.asarray(jax.jit(ops._assemble_oct)(doctored, f))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
 def test_oct_engages_inside_newmark_step(monkeypatch):
     """One implicit Newmark step with oct forced on matches the plain
     path to solver tolerance (the operators differ only in summation
