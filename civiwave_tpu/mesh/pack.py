@@ -861,13 +861,15 @@ def build_packed_model(
     xw_hex = _plan_element_windows(conn_hex[:h], h_pad, X_WINDOW_NODES) if h else ()
 
     # --- offset-pattern (oct) plans (ADR-33) --------------------------------
+    oct_xwin = int(os.environ.get("CIVIWAVE_OCT_XWIN", OCT_X_WINDOW))
+    oct_acols = int(os.environ.get("CIVIWAVE_OCT_ACOLS", OCT_A_COLS))
     xo_tet, oct_base_tet = (
-        _plan_oct_x_windows(conn_tet[:t], t_pad, OCT_X_WINDOW)
+        _plan_oct_x_windows(conn_tet[:t], t_pad, oct_xwin)
         if t
         else ((), None)
     )
     xo_hex, oct_base_hex = (
-        _plan_oct_x_windows(conn_hex[:h], h_pad, OCT_X_WINDOW)
+        _plan_oct_x_windows(conn_hex[:h], h_pad, oct_xwin)
         if h
         else ((), None)
     )
@@ -878,7 +880,7 @@ def build_packed_model(
             n_pad,
             t_pad if t else h_pad,
             int(csr_idx.shape[1]),
-            OCT_A_COLS,
+            oct_acols,
         )
 
     aw = ()
