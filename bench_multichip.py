@@ -83,6 +83,11 @@ def main() -> None:
             )
         env = dict(os.environ)
         env["CIVIWAVE_MC_REEXEC"] = "1"
+        # neutralize the axon TPU-relay sitecustomize: it gates on this
+        # env var and would otherwise re-register the axon platform over
+        # the CPU selection at interpreter start (same treatment as
+        # __graft_entry__.dryrun_multichip)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
         env["JAX_PLATFORMS"] = "cpu"
         env["JAX_NUM_CPU_DEVICES"] = str(need)
         flags = env.get("XLA_FLAGS", "")
